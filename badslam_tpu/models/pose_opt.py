@@ -1,0 +1,159 @@
+"""Frame-to-model pose estimation: Gauss-Newton on the direct cost.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/
+direct_ba_alternating.cc:42-283 (``EstimateFramePose``): up to 30 GN
+iterations; per iteration accumulate 6x6 H and 6-vector b over all surfels
+(depth point-to-plane + two descriptor residuals), solve H x = b, apply
+``T <- T * exp(-x)``, stop on IsScale1PoseEstimationConverged
+(convergence_analysis.h:45-52).
+
+TPU-native design: the reference pays one device->host transfer + CPU LDLT per
+iteration (SURVEY.md hot loop 1); here the whole GN loop — including the 6x6
+solve and the convergence test — runs on-device inside one
+``lax.while_loop``, with the H/b reduction as (6,N)x(N,6) matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import DepthToColorTransform, PinholeCamera
+from badslam_tpu.models import association, cost
+from badslam_tpu.models.association import DepthParamsArrays
+from badslam_tpu.models.surfels import SurfelStore
+
+# convergence_analysis.h:45-52
+_TRANSLATION_CONVERGENCE_THRESHOLD = 1e-6
+_ROTATION_SCALE = 10.0  # translation_threshold / rotation_threshold
+
+
+def is_scale1_converged(x: jax.Array) -> jax.Array:
+  scaled = x.at[3:6].multiply(_ROTATION_SCALE)
+  return jnp.sum(scaled * scaled) < _TRANSLATION_CONVERGENCE_THRESHOLD
+
+
+def solve_6x6(H: jax.Array, b: jax.Array) -> jax.Array:
+  """Damped-free 6x6 solve with one step of iterative refinement — recovers
+  the accuracy the reference gets from its double-precision LDLT
+  (direct_ba_alternating.cc:206) while staying in f32 on-device."""
+  # Symmetrize (only used in full form here).
+  x0 = jnp.linalg.solve(H, b)
+  r = b - H @ x0
+  return x0 + jnp.linalg.solve(H, r)
+
+
+def accumulate_pose_h_b(
+    global_T_frame: jax.Array,
+    surfels: SurfelStore,
+    kf_depth: jax.Array,
+    kf_normals: jax.Array,
+    kf_intensity: jax.Array,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    dp: DepthParamsArrays,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    compute_cost: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+  """One evaluation of (H, b[, cost, residual_count]) at the given pose
+  (AccumulatePoseEstimationCoeffsCUDAKernel, kernel_opt_pose.cu:252-383)."""
+  frame_T_global = se3.inverse(global_T_frame)
+  assoc = association.associate_surfels(
+      surfels.pos, surfels.normal, surfels.valid, frame_T_global,
+      kf_depth, kf_normals, depth_cam, dp,
+  )
+
+  H = jnp.zeros((6, 6), jnp.float32)
+  b = jnp.zeros((6,), jnp.float32)
+  total_cost = jnp.zeros((), jnp.float32)
+  res_count = jnp.zeros((), jnp.int32)
+
+  if use_depth_residuals:
+    unproj = depth_cam.unproject_center(
+        assoc.px.astype(jnp.float32), assoc.py.astype(jnp.float32),
+        assoc.calibrated_depth,
+    )
+    r = cost.raw_depth_residual(
+        unproj, assoc.local_pos, assoc.local_normal, assoc.inv_stddev
+    )
+    J = cost.depth_residual_pose_jacobian(unproj, assoc.local_normal, assoc.inv_stddev)
+    w = cost.depth_weight(r)
+    Hd, bd = cost.accumulate_h_b(J, r, w, assoc.mask)
+    H = H + Hd
+    b = b + bd
+    if compute_cost:
+      total_cost = total_cost + jnp.sum(
+          jnp.where(assoc.mask, cost.weighted_depth_cost(r), 0.0))
+      res_count = res_count + jnp.sum(assoc.mask.astype(jnp.int32))
+
+  if use_descriptor_residuals:
+    d2c = DepthToColorTransform.between(depth_cam, color_cam)
+    color_pxy, in_color = d2c.apply(assoc.pxy)
+    dmask = assoc.mask & in_color
+    t1_pxy, t2_pxy = cost.tangent_projections(
+        surfels.pos, surfels.normal, surfels.radius_sq,
+        frame_T_global[0:3, 0:3], frame_T_global[0:3, 3], color_cam,
+    )
+    r1, r2 = cost.raw_descriptor_residual(
+        kf_intensity, color_pxy, t1_pxy, t2_pxy, surfels.desc
+    )
+    gx1, gy1, gx2, gy2 = cost.descriptor_grads(kf_intensity, color_pxy, t1_pxy, t2_pxy)
+    # Scale gradients by the *center-convention* focal lengths
+    # (kernel_opt_pose.cu:117-120; fx is identical in both conventions).
+    J1 = cost.projected_position_pose_jacobian(
+        gx1 * color_cam.fx, gy1 * color_cam.fy, assoc.local_pos)
+    J2 = cost.projected_position_pose_jacobian(
+        gx2 * color_cam.fx, gy2 * color_cam.fy, assoc.local_pos)
+    w1 = cost.descriptor_weight(r1)
+    w2 = cost.descriptor_weight(r2)
+    H1, b1 = cost.accumulate_h_b(J1, r1, w1, dmask)
+    H2, b2 = cost.accumulate_h_b(J2, r2, w2, dmask)
+    H = H + H1 + H2
+    b = b + b1 + b2
+    if compute_cost:
+      total_cost = total_cost + jnp.sum(
+          jnp.where(dmask, cost.weighted_descriptor_cost(r1), 0.0))
+      res_count = res_count + jnp.sum(dmask.astype(jnp.int32))
+
+  return H, b, total_cost, res_count
+
+
+def estimate_frame_pose(
+    global_T_frame_init: jax.Array,
+    surfels: SurfelStore,
+    kf_depth: jax.Array,
+    kf_normals: jax.Array,
+    kf_intensity: jax.Array,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    dp: DepthParamsArrays,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_iterations: int = 30,
+) -> Tuple[jax.Array, jax.Array]:
+  """Returns (global_T_frame_estimate, converged)."""
+
+  def cond(state):
+    _, it, converged = state
+    return (it < max_iterations) & jnp.logical_not(converged)
+
+  def body(state):
+    T, it, _ = state
+    H, b, _, _ = accumulate_pose_h_b(
+        T, surfels, kf_depth, kf_normals, kf_intensity,
+        depth_cam, color_cam, dp,
+        use_depth_residuals, use_descriptor_residuals,
+    )
+    x = solve_6x6(H, b)
+    # Guard: a singular H (no associations) must not poison the pose.
+    x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    T_new = T @ se3.exp(-x)
+    return (T_new, it + 1, is_scale1_converged(x))
+
+  init = (global_T_frame_init, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+  T, _, converged = jax.lax.while_loop(cond, body, init)
+  return T, converged

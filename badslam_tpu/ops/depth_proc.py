@@ -1,0 +1,260 @@
+"""Depth-image preprocessing: bilateral filter + cutoff, normals, radii,
+min/max depth.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/
+cuda_depth_processing.cu (kernels at :42, :134, :331, :391). Depth here is
+float32 metric meters with <= 0 meaning invalid (replaces u16 + invalid bit).
+
+TPU design: fixed-radius stencils expressed as static shifted-slice sums over a
+padded image — XLA fuses the whole stencil into one elementwise loop; no
+gathers, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.ops import depth_model
+
+
+def _shifted(padded: jax.Array, dy: int, dx: int, h: int, w: int, radius: int) -> jax.Array:
+  """View of the padded image shifted by (dy, dx), shape (h, w)."""
+  return jax.lax.dynamic_slice(padded, (radius + dy, radius + dx), (h, w))
+
+
+def bilateral_filter_and_cutoff(
+    depth: jax.Array,
+    sigma_xy: float = 1.5,
+    sigma_inv_depth: float = 0.005,
+    radius_factor: float = 2.0,
+    max_depth: float = 3.0,
+) -> jax.Array:
+  """Joint xy/inverse-depth bilateral filter with max-depth cutoff
+  (BilateralFilteringAndDepthCutoffCUDAKernel, cuda_depth_processing.cu:42-98).
+
+  Filtering happens in inverse-depth space; the weighted mean of inverse depth
+  is inverted back. Pixels with depth <= 0 or > max_depth become invalid (0).
+  """
+  h, w = depth.shape
+  radius = int(radius_factor * sigma_xy + 0.5)
+  radius_sq = radius * radius
+  denom_xy = 2.0 * sigma_xy * sigma_xy
+  denom_value = 2.0 * sigma_inv_depth * sigma_inv_depth
+
+  center_valid = (depth > 0.0) & (depth <= max_depth)
+  inv_center = 1.0 / jnp.where(depth > 0.0, depth, 1.0)
+
+  padded = jnp.pad(depth, radius)  # zero padding = invalid samples
+  wsum = jnp.zeros_like(depth)
+  vsum = jnp.zeros_like(depth)
+  for dy in range(-radius, radius + 1):
+    for dx in range(-radius, radius + 1):
+      grid_sq = dx * dx + dy * dy
+      if grid_sq > radius_sq:
+        continue
+      sample = _shifted(padded, dy, dx, h, w, radius)
+      sample_valid = sample > 0.0
+      inv_sample = 1.0 / jnp.where(sample_valid, sample, 1.0)
+      diff = inv_center - inv_sample
+      wgt = jnp.where(
+          sample_valid,
+          jnp.exp(-grid_sq / denom_xy - (diff * diff) / denom_value),
+          0.0,
+      )
+      wsum = wsum + wgt
+      vsum = vsum + wgt * inv_sample
+
+  ok = center_valid & (wsum > 0.0)
+  out = wsum / jnp.where(vsum > 0.0, vsum, 1.0)  # 1 / weighted-mean inverse depth
+  return jnp.where(ok, out, 0.0)
+
+
+def compute_normals(
+    depth: jax.Array,
+    camera: PinholeCamera,
+    a,
+    cfactor: jax.Array,
+    cell: int,
+) -> Tuple[jax.Array, jax.Array]:
+  """Central-difference normals with the occlusion-aware side selection
+  (ComputeNormalsCUDAKernel, cuda_depth_processing.cu:134-255).
+
+  Returns (out_depth, normals_xy):
+    out_depth: depth with border/incomplete-neighborhood pixels invalidated;
+    normals_xy: (H, W, 2) image-space normal x/y of the *normalized* 3D normal
+      (z is reconstructed as -sqrt(max(0, 1-x^2-y^2)) when needed).
+  Normals are computed on *calibrated* depth.
+  """
+  h, w = depth.shape
+  calib = depth_model.calibrate_depth_image(a, cfactor, depth, cell)
+
+  valid = depth > 0.0
+  padded_valid = jnp.pad(valid, 1)
+  padded_calib = jnp.pad(calib, 1)
+
+  def shift(arr, dy, dx):
+    return jax.lax.dynamic_slice(arr, (1 + dy, 1 + dx), (h, w))
+
+  v_l, v_r = shift(padded_valid, 0, -1), shift(padded_valid, 0, 1)
+  v_t, v_b = shift(padded_valid, -1, 0), shift(padded_valid, 1, 0)
+  all_valid = valid & v_l & v_r & v_t & v_b
+
+  # Border pixels invalid (kBorder = 1)
+  border = jnp.zeros_like(valid)
+  border = border.at[0, :].set(True).at[-1, :].set(True)
+  border = border.at[:, 0].set(True).at[:, -1].set(True)
+  all_valid = all_valid & ~border
+
+  d_c = calib
+  d_l, d_r = shift(padded_calib, 0, -1), shift(padded_calib, 0, 1)
+  d_t, d_b = shift(padded_calib, -1, 0), shift(padded_calib, 1, 0)
+
+  xs = jnp.arange(w, dtype=depth.dtype)[None, :]
+  ys = jnp.arange(h, dtype=depth.dtype)[:, None]
+
+  def unproj(px, py, d):
+    return jnp.stack(
+        [d * (camera.fx_inv * px + camera.cx_inv),
+         d * (camera.fy_inv * py + camera.cy_inv),
+         d],
+        axis=-1,
+    )
+
+  p_c = unproj(xs, ys, d_c)
+  p_l = unproj(xs - 1, ys, d_l)
+  p_r = unproj(xs + 1, ys, d_r)
+  p_t = unproj(xs, ys - 1, d_t)
+  p_b = unproj(xs, ys + 1, d_b)
+
+  ratio_thr_sq = 4.0  # kRatioThreshold = 2
+
+  def pick_difference(p_neg, p_pos):
+    """Occlusion-aware difference: full central difference when the two sides
+    have comparable distances; else one-sided toward the nearer side."""
+    neg_sq = jnp.sum((p_neg - p_c) ** 2, axis=-1)
+    pos_sq = jnp.sum((p_pos - p_c) ** 2, axis=-1)
+    ratio = neg_sq / jnp.maximum(pos_sq, 1e-30)
+    central = p_pos - p_neg
+    use_central = (ratio < ratio_thr_sq) & (ratio > 1.0 / ratio_thr_sq)
+    one_sided = jnp.where(
+        (neg_sq < pos_sq)[..., None], p_c - p_neg, p_pos - p_c
+    )
+    return jnp.where(use_central[..., None], central, one_sided)
+
+  left_to_right = pick_difference(p_l, p_r)
+  bottom_to_top = pick_difference(p_b, p_t)
+
+  normal = jnp.cross(left_to_right, bottom_to_top)
+  length = jnp.linalg.norm(normal, axis=-1)
+  degenerate = ~(length > 1e-6)
+  sign = jnp.where(camera.fy_inv < 0, -1.0, 1.0)
+  inv_len = sign / jnp.where(degenerate, 1.0, length)
+  nxy = normal[..., 0:2] * inv_len[..., None]
+  nxy = jnp.where(degenerate[..., None], jnp.stack(
+      [jnp.zeros_like(length), jnp.zeros_like(length)], axis=-1), nxy)
+
+  out_depth = jnp.where(all_valid, depth, 0.0)
+  nxy = jnp.where(all_valid[..., None], nxy, 0.0)
+  return out_depth, nxy
+
+
+def normal_z(nxy: jax.Array) -> jax.Array:
+  """Reconstruct z from stored x/y (U16ToImageSpaceNormal, util.cuh:123-130):
+  z = -sqrt(max(0, 1 - x^2 - y^2)); points toward the camera."""
+  zsq = 1.0 - nxy[..., 0] ** 2 - nxy[..., 1] ** 2
+  return -jnp.sqrt(jnp.maximum(zsq, 0.0))
+
+
+def normals_3d(nxy: jax.Array) -> jax.Array:
+  return jnp.concatenate([nxy, normal_z(nxy)[..., None]], axis=-1)
+
+
+def compute_radii_and_remove_isolated(
+    depth: jax.Array, camera: PinholeCamera
+) -> Tuple[jax.Array, jax.Array]:
+  """Point radius = min squared distance to the 4-neighborhood; pixels with
+  fewer than 4 valid neighbors are invalidated
+  (ComputePointRadiiAndRemoveIsolatedPixelsCUDAKernel,
+  cuda_depth_processing.cu:331-358). Uses *uncalibrated* depth, as the
+  reference does.
+
+  Returns (radius_sq, out_depth).
+  """
+  h, w = depth.shape
+  valid = depth > 0.0
+  padded = jnp.pad(depth, 1)
+  padded_valid = jnp.pad(valid, 1)
+
+  def shift(arr, dy, dx):
+    return jax.lax.dynamic_slice(arr, (1 + dy, 1 + dx), (h, w))
+
+  xs = jnp.arange(w, dtype=depth.dtype)[None, :]
+  ys = jnp.arange(h, dtype=depth.dtype)[:, None]
+
+  def unproj(px, py, d):
+    return jnp.stack(
+        [d * (camera.fx_inv * px + camera.cx_inv),
+         d * (camera.fy_inv * py + camera.cy_inv),
+         d],
+        axis=-1,
+    )
+
+  p_c = unproj(xs, ys, depth)
+
+  min_sq = jnp.full((h, w), jnp.inf, dtype=depth.dtype)
+  count = jnp.zeros((h, w), dtype=jnp.int32)
+  for dy, dx in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+    d_n = shift(padded, dy, dx)
+    v_n = shift(padded_valid, dy, dx)
+    p_n = unproj(xs + dx, ys + dy, d_n)
+    dist_sq = jnp.sum((p_n - p_c) ** 2, axis=-1)
+    min_sq = jnp.where(v_n & (dist_sq < min_sq), dist_sq, min_sq)
+    count = count + v_n.astype(jnp.int32)
+
+  ok = valid & (count >= 4)
+  radius_sq = jnp.where(ok, min_sq, 0.0)
+  out_depth = jnp.where(ok, depth, 0.0)
+  return radius_sq, out_depth
+
+
+def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
+  """(min, max) over valid pixels (ComputeMinMaxDepthCUDAKernel,
+  cuda_depth_processing.cu:391-425)."""
+  valid = depth > 0.0
+  min_d = jnp.min(jnp.where(valid, depth, jnp.inf))
+  max_d = jnp.max(jnp.where(valid, depth, 0.0))
+  return min_d, max_d
+
+
+def median_filter_and_densify(depth: jax.Array, iterations: int) -> jax.Array:
+  """Optional CPU-side median filter + densification pass
+  (preprocessing.cc:40-85): each iteration replaces every pixel by the median
+  of the valid entries in its 3x3 neighborhood (filling holes when at least
+  one neighbor is valid)."""
+  if iterations <= 0:
+    return depth
+  h, w = depth.shape
+  for _ in range(iterations):
+    padded = jnp.pad(depth, 1)
+    samples = []
+    valids = []
+    for dy in (-1, 0, 1):
+      for dx in (-1, 0, 1):
+        s = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+        samples.append(s)
+        valids.append(s > 0.0)
+    stack = jnp.stack(samples, axis=0)  # (9, H, W)
+    vstack = jnp.stack(valids, axis=0)
+    n_valid = jnp.sum(vstack, axis=0)
+    # Median over valid entries: sort with invalid pushed to +inf, index (n-1)//2.
+    sort_in = jnp.where(vstack, stack, jnp.inf)
+    sorted_stack = jnp.sort(sort_in, axis=0)
+    idx = jnp.maximum(n_valid - 1, 0) // 2
+    med = jnp.take_along_axis(sorted_stack, idx[None, ...], axis=0)[0]
+    depth = jnp.where(n_valid > 0, med, 0.0)
+  return depth
