@@ -208,9 +208,16 @@ def accumulate_h_b(
     mask: jax.Array,   # (N,) bool
 ) -> Tuple[jax.Array, jax.Array]:
   """H = J^T W J, b = J^T W r over masked lanes, as one matmul each
-  (replaces gauss_newton.cuh:46-93 CUB block reductions + atomics)."""
+  (replaces gauss_newton.cuh:46-93 CUB block reductions + atomics).
+
+  Masked lanes may carry inf/NaN (e.g. z=0 divisions on invalid surfel slots),
+  and 0 * inf = NaN — so J and r are hard-zeroed with where(), not just
+  weight-zeroed.
+  """
   wm = jnp.where(mask, w, 0.0)
-  Jw = J * wm[:, None]
-  H = jnp.dot(Jw.T, J, preferred_element_type=jnp.float32)
-  b = jnp.dot(Jw.T, r, preferred_element_type=jnp.float32)
+  Jm = jnp.where(mask[:, None], J, 0.0)
+  rm = jnp.where(mask, r, 0.0)
+  Jw = Jm * wm[:, None]
+  H = jnp.dot(Jw.T, Jm, preferred_element_type=jnp.float32)
+  b = jnp.dot(Jw.T, rm, preferred_element_type=jnp.float32)
   return H, b

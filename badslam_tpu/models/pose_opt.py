@@ -157,3 +157,64 @@ def estimate_frame_pose(
   init = (global_T_frame_init, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
   T, _, converged = jax.lax.while_loop(cond, body, init)
   return T, converged
+
+
+def estimate_frame_poses_batched(
+    global_T_frame_init: jax.Array,  # (K, 4, 4)
+    optimize_mask: jax.Array,        # (K,) bool — keyframes to optimize
+    surfels: SurfelStore,
+    kf_depth: jax.Array,             # (K, H, W)
+    kf_normals: jax.Array,           # (K, H, W, 2)
+    kf_intensity: jax.Array,         # (K, H, W)
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    dp: DepthParamsArrays,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_iterations: int = 30,
+) -> Tuple[jax.Array, jax.Array]:
+  """All keyframes' frame-to-model pose GN at once.
+
+  The reference's BA pose step loops keyframes sequentially on the host
+  (direct_ba_alternating.cc:543-577) — but within one alternation iteration
+  each keyframe's pose problem is independent (the surfel map is fixed), so
+  on TPU we vmap the whole GN over the keyframe axis and run one shared
+  ``lax.while_loop`` with per-keyframe convergence lanes.
+
+  Returns (global_T_frame (K,4,4), moved (K,) bool). ``moved`` mirrors the
+  reference's frame_moved = !IsScale1PoseEstimationConverged(diff.log()):
+  True iff the final GN update was still above the convergence threshold.
+  """
+
+  def h_b_one(T, depth, normals, intensity):
+    H, b, _, _ = accumulate_pose_h_b(
+        T, surfels, depth, normals, intensity, depth_cam, color_cam, dp,
+        use_depth_residuals, use_descriptor_residuals)
+    return H, b
+
+  h_b_all = jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))
+
+  def cond(state):
+    _, it, done = state
+    return (it < max_iterations) & jnp.logical_not(jnp.all(done))
+
+  def body(state):
+    T, it, done = state
+    H, b = h_b_all(T, kf_depth, kf_normals, kf_intensity)
+    x = jax.vmap(solve_6x6)(H, b)
+    x = jnp.where(
+        jnp.all(jnp.isfinite(x), axis=-1, keepdims=True), x, jnp.zeros_like(x))
+    step = jnp.where(done[:, None], 0.0, x)
+    T_new = T @ se3.exp(-step)
+    converged_now = jax.vmap(is_scale1_converged)(x)
+    return (T_new, it + 1, done | converged_now)
+
+  # Lanes not selected for optimization start "done" and never move.
+  init = (global_T_frame_init, jnp.zeros((), jnp.int32), ~optimize_mask)
+  T, _, _ = jax.lax.while_loop(cond, body, init)
+  # frame_moved test on the TOTAL pose change, exactly as the reference:
+  # pose_difference = frame_T_global_old * global_T_frame_new
+  # (direct_ba_alternating.cc:564-566).
+  diff = se3.inverse(global_T_frame_init) @ T
+  moved = optimize_mask & ~jax.vmap(is_scale1_converged)(jax.vmap(se3.log)(diff))
+  return T, moved

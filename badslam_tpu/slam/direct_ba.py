@@ -1,0 +1,541 @@
+"""DirectBA: the SLAM back-end — surfel map + direct bundle adjustment driver.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/
+direct_ba.{h,cc} (class DirectBA) and direct_ba_alternating.cc:285-740
+(``BundleAdjustmentAlternating``). Covisibility: direct_ba.cc:231-249;
+min-observation bootstrapping schedule: direct_ba.h:219-226; end-of-scheme
+tasks: direct_ba.cc:566-653.
+
+TPU-native architecture:
+  * All map state (SurfelStore, KeyframeStore, depth-deformation params) is a
+    device-side pytree with static capacities; host code only orchestrates the
+    alternation schedule and reads back tiny scalars (activation states).
+  * Keyframe pose optimization is BATCHED: one vmapped Gauss-Newton over all
+    active keyframes (the reference loops them sequentially on the host,
+    direct_ba_alternating.cc:543-577 — the problems are independent within an
+    alternation step).
+  * No compaction in the hot path: deletion/merge just clear validity masks
+    (the reference compacts with CUB scans to keep CUDA launches dense, which
+    a masked dense TPU program does not need).
+  * Cameras are passed to jit as dynamic (4,) intrinsics vectors + static
+    (width, height), so intrinsics self-calibration does not recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.models import geometry_opt, keyframes as kf_mod, pose_opt, surfel_ops
+from badslam_tpu.models.association import DepthParamsArrays
+from badslam_tpu.models.keyframes import ACTIVE, COVISIBLE_ACTIVE, INACTIVE, KeyframeStore
+from badslam_tpu.models.surfels import SurfelStore
+from badslam_tpu.models import surfels as surfels_mod
+from badslam_tpu.ops import depth_model
+from badslam_tpu.ops.depth_proc import compute_min_max_depth
+from badslam_tpu.utils.timing import Timing
+
+
+def make_camera(intr: jax.Array, width: int, height: int) -> PinholeCamera:
+  return PinholeCamera(width, height, intr[0], intr[1], intr[2], intr[3])
+
+
+def camera_intrinsics(cam: PinholeCamera) -> jax.Array:
+  return jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+
+
+# --- jitted phases (module-level for cache sharing) ---
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _add_keyframe_jit(
+    kf: KeyframeStore,
+    depth, normals, radius_sq, intensity, rgb, global_T_frame, frame_index,
+    depth_intr, width: int, height: int,
+) -> KeyframeStore:
+  """Insert + covisibility update (DirectBA::AddKeyframe +
+  DetermineNewKeyframeCoVisibility, direct_ba.cc:188-249)."""
+  cam = make_camera(depth_intr, width, height)
+  min_d, max_d = compute_min_max_depth(depth)
+  new_index = kf.count
+  kf = kf_mod.add_keyframe(
+      kf, depth, normals, radius_sq, intensity, rgb, global_T_frame,
+      frame_index, min_d, max_d)
+
+  # Frustum intersection of the new keyframe vs. every existing one.
+  k = kf.capacity
+  others = jnp.arange(k, dtype=jnp.int32)
+  inter = jax.vmap(
+      lambda j: kf_mod.frustums_intersect(
+          kf, new_index, j, cam.fx_inv, cam.fy_inv, cam.cx_inv, cam.cy_inv,
+          width, height)
+  )(others)
+  inter = inter & kf.valid & (others != new_index)
+  covis = kf.covis
+  covis = covis.at[new_index, :].set(inter)
+  covis = covis.at[:, new_index].set(inter)
+  # Covisible inactive keyframes become covisible-active (direct_ba.cc:244-246).
+  activation = jnp.where(
+      inter & (kf.activation == INACTIVE), COVISIBLE_ACTIVE, kf.activation)
+  return kf._replace(covis=covis, activation=activation)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cwidth", "cheight",
+                     "filter_new_surfels", "cell_size"))
+def _create_surfels_jit(
+    surfels: SurfelStore,
+    kf: KeyframeStore,
+    kf_index,
+    depth_intr, color_intr, a, cfactor, baseline_fx, min_observation_count,
+    dwidth: int, dheight: int, cwidth: int, cheight: int,
+    filter_new_surfels: bool, cell_size: int,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  color_cam = make_camera(color_intr, cwidth, cheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  g = lambda arr: jax.lax.dynamic_index_in_dim(arr, kf_index, 0, keepdims=False)
+  covis_mask = kf.covis[kf_index] & kf.valid
+  return surfel_ops.create_surfels_for_keyframe(
+      surfels,
+      g(kf.depth), g(kf.normals), g(kf.radius_sq), g(kf.intensity), g(kf.rgb),
+      g(kf.global_T_frame),
+      depth_cam, color_cam, dp,
+      kf.depth, kf.normals, kf.global_T_frame, covis_mask,
+      min_observation_count, filter_new_surfels=filter_new_surfels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cell_size"))
+def _merge_surfels_jit(
+    surfels: SurfelStore, kf: KeyframeStore, kf_index,
+    depth_intr, a, cfactor, baseline_fx,
+    dwidth: int, dheight: int, cell_size: int,
+    surfel_merge_dist_factor,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  g = lambda arr: jax.lax.dynamic_index_in_dim(arr, kf_index, 0, keepdims=False)
+  frame_T_global = se3.inverse(g(kf.global_T_frame))
+  return surfel_ops.merge_surfels_for_keyframe(
+      surfels, frame_T_global, g(kf.depth), g(kf.normals), depth_cam, dp,
+      surfel_merge_dist_factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cell_size", "update_radii"))
+def _delete_surfels_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, a, cfactor, baseline_fx, min_observation_count,
+    dwidth: int, dheight: int, cell_size: int, update_radii: bool,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  return surfel_ops.delete_surfels_and_update_radii(
+      surfels, kf, depth_cam, dp, min_observation_count, update_radii)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cell_size"))
+def _surfel_activation_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, a, cfactor, baseline_fx, keep_active,
+    dwidth: int, dheight: int, cell_size: int,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  return surfel_ops.update_surfel_activation(surfels, kf, depth_cam, dp,
+                                             keep_active)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cwidth", "cheight", "cell_size",
+                     "use_depth_residuals", "use_descriptor_residuals"))
+def _geometry_iteration_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, color_intr, a, cfactor, baseline_fx,
+    dwidth: int, dheight: int, cwidth: int, cheight: int, cell_size: int,
+    use_depth_residuals: bool, use_descriptor_residuals: bool,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  color_cam = make_camera(color_intr, cwidth, cheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  return geometry_opt.optimize_geometry_iteration(
+      surfels, kf, depth_cam, color_cam, dp,
+      use_depth_residuals, use_descriptor_residuals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cwidth", "cheight", "cell_size",
+                     "use_depth_residuals", "use_descriptor_residuals",
+                     "max_iterations"))
+def _pose_optimization_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, color_intr, a, cfactor, baseline_fx,
+    dwidth: int, dheight: int, cwidth: int, cheight: int, cell_size: int,
+    use_depth_residuals: bool, use_descriptor_residuals: bool,
+    max_iterations: int,
+) -> Tuple[KeyframeStore, jax.Array]:
+  """Batched pose GN for all non-inactive keyframes; updates activation to
+  kActive/kInactive by frame_moved (direct_ba_alternating.cc:543-577)."""
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  color_cam = make_camera(color_intr, cwidth, cheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  optimize = kf.valid & (kf.activation != INACTIVE)
+  T, moved = pose_opt.estimate_frame_poses_batched(
+      kf.global_T_frame, optimize, surfels,
+      kf.depth, kf.normals, kf.intensity,
+      depth_cam, color_cam, dp,
+      use_depth_residuals, use_descriptor_residuals, max_iterations)
+  activation = jnp.where(
+      optimize, jnp.where(moved, ACTIVE, INACTIVE), kf.activation)
+  kf = kf._replace(global_T_frame=T, activation=activation)
+  num_converged = jnp.sum((kf.valid & (activation == INACTIVE)).astype(jnp.int32))
+  num_converged = num_converged + jnp.sum((~kf.valid).astype(jnp.int32))
+  return kf, num_converged
+
+
+@jax.jit
+def _determine_covisible_active_jit(kf: KeyframeStore) -> KeyframeStore:
+  """kInactive keyframes covisible with a kActive one become kCovisibleActive
+  (DirectBA::DetermineCovisibleActiveKeyframes, direct_ba.cc:549-564)."""
+  active = kf.valid & (kf.activation == ACTIVE)
+  # covis is symmetric: row i of covis @ active > 0 means i sees an active KF.
+  touched = jnp.any(kf.covis & active[None, :], axis=1)
+  new_act = jnp.where(
+      kf.valid & (kf.activation == INACTIVE) & touched,
+      COVISIBLE_ACTIVE, kf.activation)
+  return kf._replace(activation=new_act)
+
+
+class DirectBA:
+  """Host-side orchestrator owning the device map state.
+
+  Mirrors the reference DirectBA public surface (direct_ba.h:65-550):
+  AddKeyframe, CreateSurfelsForKeyframe, BundleAdjustment,
+  PerformBASchemeEndTasks, EstimateFramePose (via pose_opt), accessors.
+  """
+
+  def __init__(
+      self,
+      config: BadSlamConfig,
+      depth_cam: PinholeCamera,
+      color_cam: PinholeCamera,
+      keyframe_capacity: Optional[int] = None,
+      surfel_capacity: Optional[int] = None,
+  ):
+    self.config = config
+    self.depth_size = (depth_cam.width, depth_cam.height)
+    self.color_size = (color_cam.width, color_cam.height)
+    self.depth_intr = camera_intrinsics(depth_cam)
+    self.color_intr = camera_intrinsics(color_cam)
+
+    kcap = keyframe_capacity or config.initial_keyframe_capacity
+    scap = surfel_capacity or config.initial_surfel_capacity
+    self.kf = kf_mod.create(kcap, depth_cam.height, depth_cam.width)
+    self.surfels = surfels_mod.create(scap)
+
+    cell = config.sparse_surfel_cell_size
+    hc, wc = depth_model.cfactor_shape(depth_cam.height, depth_cam.width, cell)
+    self.a = jnp.asarray(config.depth_deformation_a, jnp.float32)
+    self.cfactor = jnp.zeros((hc, wc), jnp.float32)
+    self.baseline_fx = jnp.asarray(config.baseline_fx, jnp.float32)
+    self.cell_size = cell
+
+    self.ba_iteration_count = 0
+    self.last_ba_iteration_count = -1
+    # Host-side per-slot bookkeeping (mirrors Keyframe::last_active_in_ba_iteration).
+    self.last_active_in_ba_iteration = np.full(kcap, -1, np.int64)
+    self.use_depth_residuals = config.use_geometric_residuals
+    self.use_descriptor_residuals = config.use_photometric_residuals
+    self.surfel_merge_dist_factor = config.surfel_merge_dist_factor
+
+  # --- capacity management ---
+
+  @property
+  def keyframe_count(self) -> int:
+    return int(self.kf.count)
+
+  @property
+  def surfel_count(self) -> int:
+    return int(self.surfels.count)
+
+  def depth_camera(self) -> PinholeCamera:
+    w, h = self.depth_size
+    intr = np.asarray(self.depth_intr)
+    return PinholeCamera(w, h, float(intr[0]), float(intr[1]),
+                         float(intr[2]), float(intr[3]))
+
+  def color_camera(self) -> PinholeCamera:
+    w, h = self.color_size
+    intr = np.asarray(self.color_intr)
+    return PinholeCamera(w, h, float(intr[0]), float(intr[1]),
+                         float(intr[2]), float(intr[3]))
+
+  def depth_params(self) -> DepthParamsArrays:
+    return DepthParamsArrays(a=self.a, cfactor=self.cfactor,
+                             baseline_fx=self.baseline_fx,
+                             cell_size=self.cell_size)
+
+  def _ensure_keyframe_capacity(self):
+    if self.keyframe_count >= self.kf.capacity:
+      new_cap = self.kf.capacity * 2
+      self.kf = kf_mod.grow(self.kf, new_cap)
+      grown = np.full(new_cap, -1, np.int64)
+      grown[: len(self.last_active_in_ba_iteration)] = self.last_active_in_ba_iteration
+      self.last_active_in_ba_iteration = grown
+
+  def _ensure_surfel_capacity(self):
+    # Keep >= one image worth of candidate headroom before each creation pass.
+    w, h = self.depth_size
+    cell = self.cell_size
+    headroom = (h // cell + 1) * (w // cell + 1)
+    while (self.surfel_count + headroom > self.surfels.capacity and
+           self.surfels.capacity < self.config.max_surfel_count):
+      self.surfels = surfels_mod.grow(
+          self.surfels,
+          min(self.surfels.capacity * 2, self.config.max_surfel_count))
+
+  def get_min_observation_count(self) -> int:
+    """Bootstrapping schedule (direct_ba.h:219-226)."""
+    k = self.keyframe_count
+    if k < 5:
+      return self.config.min_observation_count_while_bootstrapping_1
+    if k < 10:
+      return self.config.min_observation_count_while_bootstrapping_2
+    return self.config.min_observation_count
+
+  # --- keyframe management ---
+
+  def add_keyframe(self, depth, normals, radius_sq, intensity, rgb,
+                   global_T_frame, frame_index: int) -> int:
+    """Returns the new keyframe's index."""
+    self._ensure_keyframe_capacity()
+    idx = self.keyframe_count
+    w, h = self.depth_size
+    self.kf = _add_keyframe_jit(
+        self.kf, depth, normals, radius_sq, intensity,
+        jnp.asarray(rgb, jnp.uint8), global_T_frame,
+        jnp.asarray(frame_index, jnp.int32), self.depth_intr, w, h)
+    return idx
+
+  def create_surfels_for_keyframe(self, kf_index: int,
+                                  filter_new_surfels: bool = True):
+    self._ensure_surfel_capacity()
+    w, h = self.depth_size
+    cw, ch = self.color_size
+    self.surfels = _create_surfels_jit(
+        self.surfels, self.kf, jnp.asarray(kf_index, jnp.int32),
+        self.depth_intr, self.color_intr, self.a, self.cfactor,
+        self.baseline_fx,
+        jnp.asarray(self.get_min_observation_count(), jnp.int32),
+        w, h, cw, ch, filter_new_surfels, self.cell_size)
+
+  def set_activation(self, activation: np.ndarray):
+    self.kf = self.kf._replace(
+        activation=jnp.asarray(activation, jnp.int32))
+
+  # --- the alternating BA scheme ---
+
+  def bundle_adjustment(
+      self,
+      optimize_depth_intrinsics: bool = False,
+      optimize_color_intrinsics: bool = False,
+      do_surfel_updates: bool = True,
+      optimize_poses: bool = True,
+      optimize_geometry: bool = True,
+      min_iterations: int = 0,
+      max_iterations: int = 10,
+      active_keyframe_window_start: int = -1,
+      active_keyframe_window_end: int = -1,
+      increase_ba_iteration_count: bool = True,
+      max_inner_pose_iterations: int = 30,
+  ) -> Tuple[int, bool]:
+    """BundleAdjustmentAlternating (direct_ba_alternating.cc:285-740).
+
+    Returns (num_iterations_done, converged).
+    """
+    cfg = self.config
+    w, h = self.depth_size
+    cw, ch = self.color_size
+    fixed_ba_iteration_count = self.ba_iteration_count
+
+    if (not increase_ba_iteration_count and
+        fixed_ba_iteration_count != self.last_ba_iteration_count):
+      self.last_ba_iteration_count = fixed_ba_iteration_count
+      self.perform_ba_scheme_end_tasks(do_surfel_updates)
+
+    fixed_active_set = (active_keyframe_window_start >= 0 or
+                        active_keyframe_window_end >= 0)
+
+    # Initialize surfel active states to inactive.
+    self.surfels = self.surfels._replace(
+        active=jnp.zeros_like(self.surfels.active))
+
+    converged = False
+    iterations_done = 0
+    kcount = self.keyframe_count
+
+    for iteration in range(max_iterations):
+      iterations_done += 1
+
+      if fixed_active_set:
+        act = np.full(self.kf.capacity, INACTIVE, np.int32)
+        s = max(0, active_keyframe_window_start)
+        e = (active_keyframe_window_end if active_keyframe_window_end >= 0
+             else kcount - 1)
+        act[s:e + 1] = ACTIVE
+        valid_np = np.asarray(self.kf.valid)
+        act = np.where(valid_np, act, INACTIVE)
+        self.set_activation(act)
+        self.kf = _determine_covisible_active_jit(self.kf)
+
+      # --- SURFEL CREATION for newly-active keyframes ---
+      old_valid = self.surfels.valid
+      keyframes_with_new_surfels: List[int] = []
+      if optimize_geometry and do_surfel_updates:
+        with Timing.time("BA surfel creation"):
+          activation_np = np.asarray(self.kf.activation)
+          valid_np = np.asarray(self.kf.valid)
+          for i in range(kcount):
+            if not valid_np[i]:
+              continue
+            if (activation_np[i] == ACTIVE and
+                self.last_active_in_ba_iteration[i] != fixed_ba_iteration_count):
+              self.last_active_in_ba_iteration[i] = fixed_ba_iteration_count
+              keyframes_with_new_surfels.append(i)
+          for i in keyframes_with_new_surfels:
+            self.create_surfels_for_keyframe(i, filter_new_surfels=True)
+
+      # --- SURFEL ACTIVATION ---
+      with Timing.time("BA surfel activation"):
+        # New surfels (valid now but not before) start active.
+        new_surfels = self.surfels.valid & ~old_valid
+        if fixed_active_set:
+          self.surfels = self.surfels._replace(active=self.surfels.valid)
+        else:
+          self.surfels = _surfel_activation_jit(
+              self.surfels, self.kf, self.depth_intr, self.a, self.cfactor,
+              self.baseline_fx, new_surfels, w, h, self.cell_size)
+
+      # --- GEOMETRY OPTIMIZATION ---
+      if optimize_geometry:
+        with Timing.time("BA geometry optimization"):
+          self.surfels = _geometry_iteration_jit(
+              self.surfels, self.kf, self.depth_intr, self.color_intr,
+              self.a, self.cfactor, self.baseline_fx,
+              w, h, cw, ch, self.cell_size,
+              self.use_depth_residuals, self.use_descriptor_residuals)
+
+      # --- SURFEL MERGE (keyframes with new surfels) ---
+      if do_surfel_updates and keyframes_with_new_surfels:
+        with Timing.time("BA initial surfel merge"):
+          for i in keyframes_with_new_surfels:
+            self.surfels = _merge_surfels_jit(
+                self.surfels, self.kf, jnp.asarray(i, jnp.int32),
+                self.depth_intr, self.a, self.cfactor, self.baseline_fx,
+                w, h, self.cell_size,
+                jnp.asarray(self.surfel_merge_dist_factor, jnp.float32))
+
+      # --- POSE OPTIMIZATION (batched over keyframes) ---
+      num_converged = kcount
+      if optimize_poses:
+        with Timing.time("BA pose optimization"):
+          self.kf, num_converged_dev = _pose_optimization_jit(
+              self.surfels, self.kf, self.depth_intr, self.color_intr,
+              self.a, self.cfactor, self.baseline_fx,
+              w, h, cw, ch, self.cell_size,
+              self.use_depth_residuals, self.use_descriptor_residuals,
+              max_inner_pose_iterations)
+          # number of *valid* converged keyframes
+          inactive = np.asarray(
+              self.kf.valid & (self.kf.activation == INACTIVE))
+          num_converged = int(inactive.sum())
+
+      # --- INTRINSICS OPTIMIZATION ---
+      if optimize_depth_intrinsics or optimize_color_intrinsics:
+        with Timing.time("BA intrinsics optimization"):
+          self._optimize_intrinsics(optimize_depth_intrinsics,
+                                    optimize_color_intrinsics)
+
+      # --- CONVERGENCE ---
+      if (iteration >= min_iterations - 1 and
+          (num_converged == kcount or not optimize_poses)):
+        converged = True
+        break
+
+      self.kf = _determine_covisible_active_jit(self.kf)
+
+    if increase_ba_iteration_count:
+      self.perform_ba_scheme_end_tasks(do_surfel_updates)
+      self.ba_iteration_count += 1
+
+    return iterations_done, converged
+
+  def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
+    """Merge (keyframes active this block) + delete + radius update
+    (direct_ba.cc:566-653). Compaction is unnecessary under the mask design.
+    """
+    w, h = self.depth_size
+    if do_surfel_updates:
+      with Timing.time("BA final surfel merge and compact"):
+        for i in range(self.keyframe_count):
+          if self.last_active_in_ba_iteration[i] == self.ba_iteration_count:
+            self.surfels = _merge_surfels_jit(
+                self.surfels, self.kf, jnp.asarray(i, jnp.int32),
+                self.depth_intr, self.a, self.cfactor, self.baseline_fx,
+                w, h, self.cell_size,
+                jnp.asarray(self.surfel_merge_dist_factor, jnp.float32))
+    with Timing.time("BA final surfel del. and radius upd."):
+      self.surfels = _delete_surfels_jit(
+          self.surfels, self.kf, self.depth_intr, self.a, self.cfactor,
+          self.baseline_fx,
+          jnp.asarray(self.get_min_observation_count(), jnp.int32),
+          w, h, self.cell_size, True)
+
+  def _optimize_intrinsics(self, optimize_depth: bool, optimize_color: bool):
+    """Self-calibration step — implemented in models/intrinsics_opt.py."""
+    from badslam_tpu.models import intrinsics_opt
+    depth_intr, color_intr, a, cfactor = intrinsics_opt.optimize_intrinsics(
+        self.surfels, self.kf, self.depth_intr, self.color_intr,
+        self.a, self.cfactor, self.baseline_fx,
+        self.depth_size, self.color_size, self.cell_size,
+        optimize_depth, optimize_color,
+        self.use_depth_residuals, self.use_descriptor_residuals)
+    if optimize_depth:
+      self.depth_intr = depth_intr
+      self.a = a
+      self.cfactor = cfactor
+    if optimize_color:
+      self.color_intr = color_intr
+
+  # --- exports ---
+
+  def export_point_cloud(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(positions (M,3), normals (M,3), colors (M,3) u8) of valid surfels
+    (DirectBA::ExportToPointCloud, direct_ba.cc:461-547)."""
+    valid = np.asarray(self.surfels.valid)
+    pos = np.asarray(self.surfels.pos)[valid]
+    nrm = np.asarray(self.surfels.normal)[valid]
+    col = np.clip(np.asarray(self.surfels.color)[valid] * 255.0, 0, 255
+                  ).astype(np.uint8)
+    return pos, nrm, col
