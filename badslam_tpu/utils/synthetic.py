@@ -79,6 +79,73 @@ def make_plane_scene(
   return depth, normals
 
 
+def render_planes(
+    camera: PinholeCamera,
+    global_T_frame: np.ndarray,
+    plane_normals: np.ndarray,     # (P, 3) world-space unit normals
+    plane_d: float = 2.5,
+    border: int = 10,
+    raw_to_float_depth: float = 1.0 / 1000.0,
+    max_depth: float = 10.0,
+) -> np.ndarray:
+  """Render the infinite-plane world {n_p . x + d = 0} from an arbitrary
+  camera pose: per pixel, nearest positive ray intersection. This produces
+  *consistent* multi-view depth maps of one world geometry (unlike
+  make_plane_scene's per-image stripes), for full-pipeline tests.
+  """
+  w, h = camera.width, camera.height
+  R = global_T_frame[:3, :3].astype(np.float64)
+  o = global_T_frame[:3, 3].astype(np.float64)
+
+  xs = np.arange(w, dtype=np.float64)
+  ys = np.arange(h, dtype=np.float64)
+  nx = (xs - (float(camera.cx) - 0.5)) / float(camera.fx)
+  ny = (ys - (float(camera.cy) - 0.5)) / float(camera.fy)
+  dx, dy = np.meshgrid(nx, ny)
+  dirs = np.stack([dx, dy, np.ones_like(dx)], axis=-1)   # camera frame, z=1
+  world_dirs = dirs @ R.T                                 # (H, W, 3)
+
+  best = np.full((h, w), np.inf)
+  for n in plane_normals:
+    denom = world_dirs @ n
+    t = -(plane_d + o @ n) / np.where(np.abs(denom) > 1e-12, denom, 1e-12)
+    t = np.where((np.abs(denom) > 1e-12) & (t > 0), t, np.inf)
+    best = np.minimum(best, t)
+
+  depth = np.where(np.isfinite(best) & (best <= max_depth), best, 0.0)
+  depth = np.floor(depth / raw_to_float_depth + 0.5) * raw_to_float_depth
+  mask = np.zeros((h, w), bool)
+  mask[border:h - border, border:w - border] = True
+  return np.where(mask, depth, 0.0).astype(np.float32)
+
+
+def render_intensity(
+    camera: PinholeCamera,
+    global_T_frame: np.ndarray,
+    depth: np.ndarray,
+    freq: float = 3.0,
+) -> np.ndarray:
+  """World-anchored analytic intensity: a smooth function of the 3D point each
+  pixel sees, so photometric residuals are multi-view consistent. Quantized to
+  u8 steps."""
+  h, w = depth.shape
+  R = global_T_frame[:3, :3].astype(np.float64)
+  o = global_T_frame[:3, 3].astype(np.float64)
+  xs = np.arange(w, dtype=np.float64)
+  ys = np.arange(h, dtype=np.float64)
+  nx = (xs - (float(camera.cx) - 0.5)) / float(camera.fx)
+  ny = (ys - (float(camera.cy) - 0.5)) / float(camera.fy)
+  dx, dy = np.meshgrid(nx, ny)
+  pts_cam = np.stack([depth * dx, depth * dy, depth], axis=-1)
+  pts = pts_cam @ R.T + o
+  v = (0.5
+       + 0.2 * np.sin(freq * pts[..., 0])
+       + 0.2 * np.sin(freq * pts[..., 1])
+       + 0.1 * np.sin(freq * pts[..., 2]))
+  u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
+  return (u8 / 255.0).astype(np.float32)
+
+
 def intensity_function_image(camera: PinholeCamera, kind: str = "sine"
                              ) -> np.ndarray:
   """Analytic intensity image for photometric tests (the reference uses
@@ -95,6 +162,40 @@ def intensity_function_image(camera: PinholeCamera, kind: str = "sine"
     raise ValueError(kind)
   u8 = np.floor(255.0 * v + 0.5)
   return (u8 / 255.0).astype(np.float32)
+
+
+def make_synthetic_video(
+    camera: PinholeCamera,
+    trajectory: "list[np.ndarray]",   # per-frame global_T_frame (4,4)
+    plane_normals: np.ndarray,
+    plane_d: float = 2.5,
+    raw_to_float_depth: float = 1.0 / 5000.0,
+    fps: float = 30.0,
+    textured: bool = True,
+):
+  """In-memory RGBDVideo of the plane world rendered along a trajectory —
+  the TPU rebuild's stand-in for a TUM dataset in tests and benchmarks."""
+  from badslam_tpu.io.dataset import Frame, RGBDVideo
+
+  frames = []
+  for i, T in enumerate(trajectory):
+    depth = render_planes(camera, T, plane_normals, plane_d,
+                          raw_to_float_depth=raw_to_float_depth)
+    if textured:
+      inten = render_intensity(camera, T, depth)
+      u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
+      rgb = np.stack([u8, u8, u8], axis=-1)
+    else:
+      rgb = np.zeros(depth.shape + (3,), np.uint8)
+    raw_u16 = np.floor(depth / raw_to_float_depth + 0.5).astype(np.uint16)
+    f = Frame(rgb_path="", depth_path="", rgb_timestamp=i / fps,
+              depth_timestamp=i / fps)
+    f._rgb = rgb
+    f._depth = raw_u16
+    f.global_T_frame = np.eye(4, dtype=np.float32)  # to be estimated
+    frames.append(f)
+  return RGBDVideo(frames=frames, color_camera=camera, depth_camera=camera,
+                   raw_to_float_depth=raw_to_float_depth)
 
 
 class SyntheticKeyframe(NamedTuple):

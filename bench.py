@@ -1,0 +1,103 @@
+"""Benchmark: bundle-adjustment throughput in keyframe-iterations per second.
+
+One unit of work = one keyframe's share of a full alternating-BA iteration
+(geometry GN step over its observed surfels + its frame-to-model pose GN),
+at the reference's native working resolution (640x480, sparsification cell 4,
+~19k surfels per keyframe worth of map).
+
+Baseline: the reference runs real-time at 30 FPS with 1 keyframe per 10
+frames and 10 planned BA iterations per keyframe on a GTX 1080
+(bad_slam_config.h:60-72,176-185) => 3 KF/s * 10 iterations = 30
+keyframe-iterations/s sustained. vs_baseline is measured against that.
+
+Prints exactly one JSON line:
+  {"metric": "ba_keyframe_iterations_per_s", "value": N, "unit": "kf_iter/s",
+   "vs_baseline": N/30}
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_KF_ITERS_PER_S = 30.0
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.models import geometry_opt, pose_opt
+  from badslam_tpu.models.association import DepthParamsArrays
+  from badslam_tpu.slam.direct_ba import DirectBA
+  from badslam_tpu.utils import synthetic
+
+  width, height = 640, 480
+  n_kf = 8
+  cell = 4
+
+  cam = synthetic.default_test_camera(width, height)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=cell,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=n_kf,
+      initial_surfel_capacity=1 << 15,
+  )
+  ba = DirectBA(cfg, cam, cam)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3)
+  inten = synthetic.intensity_function_image(cam)
+  kf = synthetic.preprocess_like_test_keyframe(depth, cam, intensity=inten,
+                                               cell=cell)
+  rng = np.random.default_rng(0)
+  for i in range(n_kf):
+    noise = jnp.asarray(
+        np.concatenate([rng.uniform(-2e-3, 2e-3, 3),
+                        rng.uniform(-5e-4, 5e-4, 3)]), jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32) if i == 0 else se3.exp(noise)
+    ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                    T, i * 10)
+  ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+  ba.kf = ba.kf._replace(
+      activation=jnp.where(ba.kf.valid, 2, 0).astype(jnp.int32))
+  ba.surfels = ba.surfels._replace(active=ba.surfels.valid)
+
+  dp = DepthParamsArrays(a=ba.a, cfactor=ba.cfactor,
+                         baseline_fx=ba.baseline_fx, cell_size=ba.cell_size)
+
+  @jax.jit
+  def ba_iteration(surfels, kf_store):
+    surfels = geometry_opt.optimize_geometry_iteration(
+        surfels, kf_store, cam, cam, dp, True, True)
+    optimize = kf_store.valid & (kf_store.activation != 0)
+    T, moved = pose_opt.estimate_frame_poses_batched(
+        kf_store.global_T_frame, optimize, surfels,
+        kf_store.depth, kf_store.normals, kf_store.intensity,
+        cam, cam, dp, True, True, max_iterations=10)
+    return surfels, kf_store._replace(global_T_frame=T)
+
+  # Warmup / compile.
+  s, k = ba_iteration(ba.surfels, ba.kf)
+  jax.block_until_ready((s, k))
+
+  iters = 10
+  start = time.perf_counter()
+  s, k = ba.surfels, ba.kf
+  for _ in range(iters):
+    s, k = ba_iteration(s, k)
+  jax.block_until_ready((s, k))
+  elapsed = time.perf_counter() - start
+
+  kf_iters_per_s = n_kf * iters / elapsed
+  print(json.dumps({
+      "metric": "ba_keyframe_iterations_per_s",
+      "value": round(kf_iters_per_s, 2),
+      "unit": "kf_iter/s",
+      "vs_baseline": round(kf_iters_per_s / REFERENCE_KF_ITERS_PER_S, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

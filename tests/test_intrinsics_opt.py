@@ -1,0 +1,86 @@
+"""Self-calibration convergence test
+(test_intrinsics_optimization_geometric_residual.cc:430-545): many keyframes
+observe a multi-plane world; the depth camera is perturbed; iterating the
+intrinsics GN step must recover the true intrinsics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.models import intrinsics_opt
+from badslam_tpu.slam.direct_ba import DirectBA
+from badslam_tpu.utils import synthetic
+
+W, H = 160, 120
+
+
+def build_multi_view_map(n_kf=8, n_planes=8, seed=1):
+  cam = synthetic.default_test_camera(W, H)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=4,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=n_kf,
+      initial_surfel_capacity=1 << 14,
+      max_depth=20.0,
+  )
+  ba = DirectBA(cfg, cam, cam)
+  rng = np.random.default_rng(seed)
+  normals = []
+  for _ in range(n_planes):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  normals = np.asarray(normals)
+
+  for i in range(n_kf):
+    tangent = np.concatenate([
+        rng.uniform(-0.3, 0.3, 3), rng.uniform(-0.1, 0.1, 3)]).astype(np.float32)
+    T = np.asarray(se3.exp(jnp.asarray(tangent)))
+    depth = synthetic.render_planes(cam, T, normals, raw_to_float_depth=1e-3,
+                                    max_depth=20.0)
+    kf = synthetic.preprocess_like_test_keyframe(depth, cam, cell=4)
+    ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                    jnp.asarray(T), i)
+  for i in range(n_kf):
+    ba.create_surfels_for_keyframe(i, filter_new_surfels=True)
+  return ba, cam
+
+
+def test_depth_intrinsics_recovery():
+  ba, cam = build_multi_view_map()
+  assert ba.surfel_count > 500
+  true_intr = np.asarray(ba.depth_intr)
+
+  # Perturb the depth camera (the reference perturbs fx, fy, cx, cy).
+  distorted = true_intr + np.asarray([0.4, -0.3, 0.25, -0.2], np.float32)
+  depth_intr = jnp.asarray(distorted)
+  a = ba.a
+  cfactor = ba.cfactor
+
+  for _ in range(60):
+    depth_intr, _, a, cfactor = intrinsics_opt.optimize_intrinsics(
+        ba.surfels, ba.kf, depth_intr, ba.color_intr, a, cfactor,
+        ba.baseline_fx, ba.depth_size, ba.color_size, ba.cell_size,
+        optimize_depth=True, optimize_color=False)
+
+  est = np.asarray(depth_intr)
+  err = np.abs(est - true_intr)
+  # Reference tolerance is 1e-3 px after 1000 iterations at 640x480; we run
+  # 60 at 160x120 — require recovery of most of the perturbation.
+  assert err.max() < 0.05, f"estimated {est} vs true {true_intr}"
+  assert abs(float(a)) < 0.05
+  # cfactor stays near zero (true deformation is zero).
+  assert float(jnp.abs(cfactor).max()) < 0.05
+
+
+def test_intrinsics_noop_when_disabled():
+  ba, cam = build_multi_view_map(n_kf=2)
+  out = intrinsics_opt.optimize_intrinsics(
+      ba.surfels, ba.kf, ba.depth_intr, ba.color_intr, ba.a, ba.cfactor,
+      ba.baseline_fx, ba.depth_size, ba.color_size, ba.cell_size,
+      optimize_depth=False, optimize_color=False)
+  assert out[0] is ba.depth_intr
