@@ -1,0 +1,323 @@
+"""Loop detection and closure.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/
+loop_detector.{h,cc}:
+  * feature extraction: FAST (threshold 20) + BRIEF over the gray keyframe
+    image, keypoint depth stashed alongside (loop_detector.cc:97-128,744-757);
+  * place recognition: DBoW2/DLoopDetector with normalized-similarity alpha
+    0.15, temporal consistency k=1, exclusion of recent frames (:150-179);
+  * geometric verification: 3D-3D RANSAC (threshold 0.06, >= 10 inliers)
+    (:284-360);
+  * direct refinement against the matched keyframe and its prev/next
+    neighbors, mutual consistency gates (<= 10 deg, <= 0.02 m) (:436-604);
+  * pose averaging + "is BA enough" reprojection test (<= 1 px skip)
+    (:606-666);
+  * pose-graph optimization + trajectory deformation (:670-705).
+
+TPU-native redesign of the retrieval layer: instead of a pre-trained DBoW2
+vocabulary (a binary resource we do not ship), we use ORB (FAST + rotated
+BRIEF — the same detector family) and a two-stage query: a 256-bit
+majority-vote global signature prefilter (vectorized Hamming popcount) over
+all database keyframes, then exact descriptor matching with a ratio test on
+the top candidates. Scores are normalized by the match count against the
+temporally-previous keyframe, mirroring DBoW2's normalized similarity score,
+with the same alpha = 0.15 acceptance threshold. All of this stays on CPU
+(as in the reference); only the direct refinement runs on TPU via the
+pairwise tracker.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.loop.pose_graph import PoseGraphOptimizer
+from badslam_tpu.loop.ransac import ransac_3d3d
+from badslam_tpu.loop.trajectory_deformation import (
+    extrapolate_and_interpolate_keyframe_pose_changes,
+    remember_keyframe_poses,
+)
+
+NSS_ALPHA = 0.15                 # loop_detector.cc:161
+FAST_THRESHOLD = 20              # loop_detector.cc:123
+RANSAC_THRESHOLD = 0.06          # loop_detector.cc:310
+RANSAC_MIN_INLIERS = 10          # loop_detector.cc:312
+MAX_ANGLE_DIFFERENCE = np.pi / 180.0 * 10.0   # loop_detector.cc:577
+MAX_EUCLIDEAN_DISTANCE = 0.02                 # loop_detector.cc:578
+AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0        # loop_detector.cc:655
+
+
+@dataclasses.dataclass
+class KeyframeEntry:
+  kf_slot: int                 # index in the DirectBA keyframe store
+  keypoints: np.ndarray        # (N, 2) float pixel positions (cv convention)
+  depths: np.ndarray           # (N,) metric depth at the keypoint (0 invalid)
+  descriptors: np.ndarray      # (N, 32) uint8 ORB descriptors
+  signature: np.ndarray        # (32,) uint8 majority-vote global signature
+
+
+@dataclasses.dataclass
+class LoopClosureEvent:
+  current_slot: int
+  matched_slot: int
+  inlier_count: int
+  applied: bool
+  reason: str
+
+
+def _popcount_u8(x: np.ndarray) -> np.ndarray:
+  lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1)
+  return lut[x]
+
+
+class LoopDetector:
+  """Mirrors the reference LoopDetector public surface: AddImage (here
+  add_keyframe), RemoveImage (remove_keyframe), loop counters."""
+
+  def __init__(self, config, camera, min_match_count: int = 20,
+               recent_exclude: int = 10, max_candidates: int = 8,
+               num_features: int = 500):
+    import cv2
+    self.config = config
+    self.camera = camera
+    self.orb = cv2.ORB_create(nfeatures=num_features,
+                              fastThreshold=FAST_THRESHOLD)
+    self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    self.entries: List[Optional[KeyframeEntry]] = []
+    self.min_match_count = min_match_count
+    self.recent_exclude = recent_exclude
+    self.max_candidates = max_candidates
+    self.num_loops_closed = 0
+    self.num_loops_ignored = 0
+    self.events: List[LoopClosureEvent] = []
+
+  # --- feature extraction (loop_detector.cc:97-128,729-757) ---
+
+  def _extract(self, kf_slot: int, intensity: np.ndarray,
+               depth: np.ndarray) -> KeyframeEntry:
+    gray = np.clip(intensity * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    keypoints, descriptors = self.orb.detectAndCompute(gray, None)
+    if descriptors is None or len(keypoints) == 0:
+      return KeyframeEntry(kf_slot, np.zeros((0, 2), np.float32),
+                           np.zeros((0,), np.float32),
+                           np.zeros((0, 32), np.uint8),
+                           np.zeros((32,), np.uint8))
+    pts = np.asarray([kp.pt for kp in keypoints], np.float32)
+    h, w = depth.shape
+    px = np.clip(pts[:, 0].astype(np.int32), 0, w - 1)
+    py = np.clip(pts[:, 1].astype(np.int32), 0, h - 1)
+    depths = depth[py, px].astype(np.float32)
+    # Majority-vote signature: bit b set iff >= half the descriptors set it.
+    bits = np.unpackbits(descriptors, axis=1)
+    sig = np.packbits((bits.mean(axis=0) >= 0.5).astype(np.uint8))
+    return KeyframeEntry(kf_slot, pts, depths, descriptors, sig)
+
+  # --- retrieval ---
+
+  def _detect(self, entry: KeyframeEntry) -> Tuple[Optional[int], int, list]:
+    """Returns (matched database index or None, match count, matches)."""
+    usable = [
+        (i, e) for i, e in enumerate(self.entries)
+        if e is not None and len(e.descriptors) > 0
+        and i < len(self.entries) - self.recent_exclude
+    ]
+    if not usable or len(entry.descriptors) == 0:
+      return None, 0, []
+
+    # Stage 1: signature prefilter.
+    sigs = np.stack([e.signature for _, e in usable])
+    dist = _popcount_u8(sigs ^ entry.signature[None, :]).sum(axis=1)
+    order = np.argsort(dist)[: self.max_candidates]
+
+    # Normalizer: match count against the temporally-previous keyframe
+    # (DBoW2 normalized-similarity analog).
+    prev_entry = None
+    for e in reversed(self.entries):
+      if e is not None and len(e.descriptors) > 0:
+        prev_entry = e
+        break
+    norm_count = (self._match_count(entry, prev_entry)[0]
+                  if prev_entry is not None else self.min_match_count)
+    norm_count = max(norm_count, 1)
+
+    best = (None, 0, [])
+    for oi in order:
+      i, cand = usable[oi]
+      count, matches = self._match_count(entry, cand)
+      if count > best[1]:
+        best = (i, count, matches)
+    matched, count, matches = best
+    if matched is None or count < self.min_match_count:
+      return None, count, []
+    if count / norm_count < NSS_ALPHA:
+      return None, count, []
+    return matched, count, matches
+
+  def _match_count(self, a: KeyframeEntry, b: KeyframeEntry):
+    if len(a.descriptors) == 0 or len(b.descriptors) == 0:
+      return 0, []
+    knn = self.matcher.knnMatch(a.descriptors, b.descriptors, k=2)
+    good = [m[0] for m in knn
+            if len(m) == 2 and m[0].distance < 0.75 * m[1].distance
+            and m[0].distance < 64]
+    return len(good), good
+
+  # --- public API ---
+
+  def remove_keyframe(self, db_index: int):
+    """LoopDetector::RemoveImage — keyframe deleted by keyframe merging."""
+    if 0 <= db_index < len(self.entries):
+      self.entries[db_index] = None
+
+  def add_keyframe(self, kf_slot: int, intensity: np.ndarray,
+                   depth: np.ndarray, slam) -> Optional[LoopClosureEvent]:
+    """AddImage (loop_detector.cc:208-272): extract, query, verify, close."""
+    entry = self._extract(kf_slot, intensity, depth)
+    matched_db, count, matches = self._detect(entry)
+    self.entries.append(entry)
+    if matched_db is None:
+      return None
+    matched_entry = self.entries[matched_db]
+    event = self._verify_and_close(entry, matched_entry, matches, slam)
+    self.events.append(event)
+    if event.applied:
+      self.num_loops_closed += 1
+    else:
+      self.num_loops_ignored += 1
+    return event
+
+  # --- verification + closure (loop_detector.cc:284-705) ---
+
+  def _unproject(self, pts: np.ndarray, depths: np.ndarray) -> np.ndarray:
+    cam = self.camera
+    nx = (pts[:, 0] - float(cam.cx)) / float(cam.fx)
+    ny = (pts[:, 1] - float(cam.cy)) / float(cam.fy)
+    return np.stack([depths * nx, depths * ny, depths], axis=-1)
+
+  def _verify_and_close(self, cur: KeyframeEntry, old: KeyframeEntry,
+                        matches, slam) -> LoopClosureEvent:
+    ev = lambda applied, reason, inl=0: LoopClosureEvent(
+        cur.kf_slot, old.kf_slot, inl, applied, reason)
+
+    # 3D-3D correspondences from keypoint depths.
+    ci = np.asarray([m.queryIdx for m in matches], np.int32)
+    oi = np.asarray([m.trainIdx for m in matches], np.int32)
+    ok = (cur.depths[ci] > 0) & (old.depths[oi] > 0)
+    if ok.sum() < RANSAC_MIN_INLIERS:
+      return ev(False, "too few matches with depth")
+    cur_pts = self._unproject(cur.keypoints[ci[ok]], cur.depths[ci[ok]])
+    old_pts = self._unproject(old.keypoints[oi[ok]], old.depths[oi[ok]])
+
+    old_T_cur, inliers = ransac_3d3d(
+        cur_pts, old_pts, RANSAC_THRESHOLD, 500, RANSAC_MIN_INLIERS)
+    if old_T_cur is None:
+      return ev(False, "RANSAC failed", int(inliers.sum()))
+    n_inliers = int(inliers.sum())
+
+    # Direct refinement vs matched keyframe and its next/prev neighbors.
+    ba = slam.direct_ba
+    poses = np.asarray(ba.kf.global_T_frame)
+    valid = np.asarray(ba.kf.valid)
+    k = ba.keyframe_count
+
+    neighbors = [old.kf_slot]
+    nxt = next((i for i in range(old.kf_slot + 1, k) if valid[i]), None)
+    if nxt is None:
+      return ev(False, "no next keyframe for verification", n_inliers)
+    neighbors.append(nxt)
+    prv = next((i for i in range(old.kf_slot - 1, -1, -1) if valid[i]), None)
+    if prv is None:
+      prv = next((i for i in range(nxt + 1, k) if valid[i]), None)
+      if prv is None:
+        return ev(False, "no second keyframe for verification", n_inliers)
+    neighbors.append(prv)
+
+    import jax.numpy as jnp
+    matched_frame_T_global = np.asarray(
+        se3.inverse(jnp.asarray(poses[old.kf_slot])))
+    cur_T_old_refined = []
+    for slot in neighbors:
+      matched_T_this = (np.eye(4, dtype=np.float32) if slot == old.kf_slot
+                        else matched_frame_T_global @ poses[slot])
+      init = np.asarray(
+          se3.inverse(jnp.asarray(old_T_cur))) @ matched_T_this
+      cur_T_tracked = slam.track_keyframe_pair(cur.kf_slot, slot, init)
+      old_T_cur_ref = matched_T_this @ np.asarray(
+          se3.inverse(jnp.asarray(cur_T_tracked)))
+      cur_T_old_refined.append(np.asarray(
+          se3.inverse(jnp.asarray(old_T_cur_ref))))
+
+    # Mutual consistency gates (loop_detector.cc:575-604).
+    for i in range(2):
+      for j in range(i + 1, 3):
+        zi = cur_T_old_refined[i][:3, 2]
+        zj = cur_T_old_refined[j][:3, 2]
+        ang = np.arccos(np.clip(zi @ zj, -1.0, 1.0))
+        if ang > MAX_ANGLE_DIFFERENCE:
+          return ev(False, f"refined rotations disagree ({ang:.3f} rad)",
+                    n_inliers)
+        dt = np.linalg.norm(cur_T_old_refined[i][:3, 3]
+                            - cur_T_old_refined[j][:3, 3])
+        if dt > MAX_EUCLIDEAN_DISTANCE:
+          return ev(False, f"refined translations disagree ({dt:.3f} m)",
+                    n_inliers)
+
+    cur_T_old_avg = np.asarray(se3.average_poses(
+        jnp.asarray(np.stack(cur_T_old_refined))))
+
+    # "Is BA enough?" reprojection test (loop_detector.cc:624-666).
+    cur_T_global_est = cur_T_old_avg @ matched_frame_T_global
+    global_T_cur_actual = poses[cur.kf_slot]
+    delta = cur_T_global_est @ global_T_cur_actual
+    moved = cur_pts @ delta[:3, :3].T + delta[:3, 3]
+    cam = self.camera
+
+    def project(p):
+      z = p[:, 2]
+      okz = z > 0
+      return (np.stack([float(cam.fx) * p[:, 0] / np.where(okz, z, 1.0)
+                        + float(cam.cx),
+                        float(cam.fy) * p[:, 1] / np.where(okz, z, 1.0)
+                        + float(cam.cy)], axis=-1), okz)
+
+    pe, oke = project(moved)
+    pc, okc = project(cur_pts)
+    both = oke & okc
+    if both.sum() >= 5:
+      avg_px = float(np.linalg.norm(pe[both] - pc[both], axis=1).mean())
+      if avg_px <= AVERAGE_PIXEL_DISTANCE_THRESHOLD:
+        return ev(False, f"BA will absorb it (avg {avg_px:.2f} px)",
+                  n_inliers)
+
+    # Close the loop: pose graph + trajectory deformation.
+    slot_map = [i for i in range(k) if valid[i]]
+    graph_poses = poses[slot_map]
+    optimizer = PoseGraphOptimizer(graph_poses, True)
+    gi = slot_map.index(cur.kf_slot)
+    gj = slot_map.index(old.kf_slot)
+    optimizer.add_edge(gi, gj, cur_T_old_avg)
+    new_poses = optimizer.optimize()
+
+    original = remember_keyframe_poses(graph_poses)
+    full = poses.copy()
+    for out_i, slot in enumerate(slot_map):
+      full[slot] = new_poses[out_i]
+    ba.kf = ba.kf._replace(global_T_frame=jnp.asarray(full))
+
+    # Deform the non-keyframe trajectory.
+    frame_poses = [f.global_T_frame for f in slam.rgbd_video.frames]
+    kf_frame_indices = [slam.keyframe_frame_indices[s] for s in slot_map]
+    for out_i, slot in enumerate(slot_map):
+      frame_poses[slam.keyframe_frame_indices[slot]] = new_poses[out_i]
+    extrapolate_and_interpolate_keyframe_pose_changes(
+        kf_frame_indices, original, new_poses, frame_poses,
+        start_frame=0, end_frame=slam.last_frame_index)
+    for i, p in enumerate(frame_poses):
+      slam.rgbd_video.frames[i].global_T_frame = p
+    slam.base_kf_global_T_frame = full[slam.base_kf_index]
+
+    return ev(True, "closed", n_inliers)

@@ -120,6 +120,9 @@ class BadSlam:
     self.rgbd_video = rgbd_video
     self.direct_ba = DirectBA(
         config, rgbd_video.depth_camera, rgbd_video.color_camera)
+    if loop_detector is None and config.enable_loop_detection:
+      from badslam_tpu.loop.detector import LoopDetector
+      loop_detector = LoopDetector(config, rgbd_video.color_camera)
     self.loop_detector = loop_detector
 
     # Base-keyframe state (bad_slam.h:330+): index into the keyframe store,
@@ -320,6 +323,28 @@ class BadSlam:
           self.keyframe_frame_indices[self.base_kf_index]
       ].global_T_frame = self.base_kf_global_T_frame
     return result
+
+  def track_keyframe_pair(self, base_slot: int, tracked_slot: int,
+                          base_T_tracked_init: np.ndarray) -> np.ndarray:
+    """Direct multi-scale alignment between two stored keyframes (used by
+    loop-closure refinement, loop_detector.cc:498-548: base = current
+    keyframe, tracked = matched/prev/next keyframe; both sides use the
+    keyframes' filtered depth, calibrated on the fly)."""
+    ba = self.direct_ba
+    cfg = self.config
+    w, h = ba.depth_size
+    kfs = ba.kf
+    init = jnp.asarray(base_T_tracked_init)
+    out = _odometry_jit(
+        kfs.depth[base_slot], kfs.normals[base_slot], kfs.intensity[base_slot],
+        kfs.depth[tracked_slot], kfs.normals[tracked_slot],
+        kfs.intensity[tracked_slot],
+        ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
+        init, init,
+        w, h, ba.cell_size, cfg.num_scales,
+        cfg.use_geometric_residuals, cfg.use_photometric_residuals,
+        True)
+    return np.asarray(out)
 
   # --- trajectory access ---
 

@@ -124,6 +124,7 @@ def render_intensity(
     global_T_frame: np.ndarray,
     depth: np.ndarray,
     freq: float = 3.0,
+    kind: str = "sine",
 ) -> np.ndarray:
   """World-anchored analytic intensity: a smooth function of the 3D point each
   pixel sees, so photometric residuals are multi-view consistent. Quantized to
@@ -138,10 +139,20 @@ def render_intensity(
   dx, dy = np.meshgrid(nx, ny)
   pts_cam = np.stack([depth * dx, depth * dy, depth], axis=-1)
   pts = pts_cam @ R.T + o
-  v = (0.5
-       + 0.2 * np.sin(freq * pts[..., 0])
-       + 0.2 * np.sin(freq * pts[..., 1])
-       + 0.1 * np.sin(freq * pts[..., 2]))
+  if kind == "sine":
+    v = (0.5
+         + 0.2 * np.sin(freq * pts[..., 0])
+         + 0.2 * np.sin(freq * pts[..., 1])
+         + 0.1 * np.sin(freq * pts[..., 2]))
+  elif kind == "checker":
+    # Hash-based 3D cell pattern: sharp world-anchored corners for feature
+    # detectors (ORB/FAST need them; the smooth sine texture does not).
+    cells = np.floor(freq * pts).astype(np.int64)
+    h_ = (cells[..., 0] * 73856093 ^ cells[..., 1] * 19349663
+          ^ cells[..., 2] * 83492791) & 0xFF
+    v = 0.25 + 0.5 * (h_.astype(np.float32) / 255.0)
+  else:
+    raise ValueError(kind)
   u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
   return (u8 / 255.0).astype(np.float32)
 
@@ -172,6 +183,7 @@ def make_synthetic_video(
     raw_to_float_depth: float = 1.0 / 5000.0,
     fps: float = 30.0,
     textured: bool = True,
+    texture_kind: str = "sine",
 ):
   """In-memory RGBDVideo of the plane world rendered along a trajectory —
   the TPU rebuild's stand-in for a TUM dataset in tests and benchmarks."""
@@ -182,7 +194,7 @@ def make_synthetic_video(
     depth = render_planes(camera, T, plane_normals, plane_d,
                           raw_to_float_depth=raw_to_float_depth)
     if textured:
-      inten = render_intensity(camera, T, depth)
+      inten = render_intensity(camera, T, depth, kind=texture_kind)
       u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
       rgb = np.stack([u8, u8, u8], axis=-1)
     else:
