@@ -152,3 +152,47 @@ def make_sharded_ba_iteration(
       check_vma=False,
   )
   return jax.jit(sharded)
+
+
+def make_sharded_pcg_step(
+    mesh: Mesh,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    cell_size: int,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_inner_iterations: int = 30,
+):
+  """Distributed joint-GN step: one matrix-free PCG solve with the surfel
+  axis sharded over the mesh. Cross-shard traffic per CG iteration is one
+  psum of (K,6) pose blocks plus three scalar dot products — the PCG path is
+  the natural distributed BA formulation (SURVEY.md §5).
+
+  Returns jitted (surfels [sharded], kf [replicated], a, cfactor,
+  baseline_fx, gauge_index) -> (surfels', kf', max_pose_update).
+  """
+  from badslam_tpu.models import pcg as pcg_mod
+
+  kf_spec = jax.tree.map(lambda _: P(), KeyframeStore(*KeyframeStore._fields))
+  surfel_spec = _surfel_specs(0)
+
+  def step(surfels: SurfelStore, kf: KeyframeStore, a, cfactor, baseline_fx,
+           gauge_index):
+    dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                           cell_size=cell_size)
+    delta = pcg_mod.pcg_solve(
+        surfels, kf, depth_cam, color_cam, dp, gauge_index,
+        max_inner_iterations, use_depth_residuals, use_descriptor_residuals,
+        axis_name=SURFEL_AXIS)
+    surfels, kf = pcg_mod.apply_pcg_delta(surfels, kf, delta)
+    pose_update = jnp.max(
+        jnp.where(kf.valid[:, None], jnp.abs(delta.poses), 0.0))
+    return surfels, kf, pose_update
+
+  sharded = shard_map(
+      step, mesh=mesh,
+      in_specs=(surfel_spec, kf_spec, P(), P(), P(), P()),
+      out_specs=(surfel_spec, kf_spec, P()),
+      check_vma=False,
+  )
+  return jax.jit(sharded)

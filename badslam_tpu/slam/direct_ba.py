@@ -214,6 +214,37 @@ def _pose_optimization_jit(
   return kf, num_converged
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cwidth", "cheight", "cell_size",
+                     "use_depth_residuals", "use_descriptor_residuals",
+                     "max_inner_iterations"))
+def _pcg_iteration_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, color_intr, a, cfactor, baseline_fx, gauge_index,
+    dwidth: int, dheight: int, cwidth: int, cheight: int, cell_size: int,
+    use_depth_residuals: bool, use_descriptor_residuals: bool,
+    max_inner_iterations: int,
+):
+  """One joint GN step via matrix-free PCG (BundleAdjustmentPCG inner work,
+  direct_ba_pcg.cc:339-471), followed by the PCG path's separate normal
+  re-estimation (kernel_opt_geometry.cu:527+). Returns
+  (surfels, kf, max pose-update norm)."""
+  from badslam_tpu.models import pcg as pcg_mod
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  color_cam = make_camera(color_intr, cwidth, cheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  delta = pcg_mod.pcg_solve(
+      surfels, kf, depth_cam, color_cam, dp, gauge_index,
+      max_inner_iterations, use_depth_residuals, use_descriptor_residuals)
+  surfels, kf = pcg_mod.apply_pcg_delta(surfels, kf, delta)
+  surfels = geometry_opt.reestimate_normals(surfels, kf, depth_cam, dp)
+  pose_update = jnp.max(
+      jnp.where(kf.valid[:, None], jnp.abs(delta.poses), 0.0))
+  return surfels, kf, pose_update
+
+
 @jax.jit
 def _determine_covisible_active_jit(kf: KeyframeStore) -> KeyframeStore:
   """kInactive keyframes covisible with a kActive one become kCovisibleActive
@@ -437,8 +468,21 @@ class DirectBA:
               self.surfels, self.kf, self.depth_intr, self.a, self.cfactor,
               self.baseline_fx, new_surfels, w, h, self.cell_size)
 
-      # --- GEOMETRY OPTIMIZATION ---
-      if optimize_geometry:
+      # --- GEOMETRY OPTIMIZATION (alternating) or JOINT PCG STEP ---
+      use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
+      if use_pcg:
+        with Timing.time("BA PCG"):
+          # Gauge: rotate the fixed keyframe deterministically (the reference
+          # randomizes it per iteration, direct_ba_pcg.cc:318-337).
+          gauge = iteration % max(1, kcount)
+          self.surfels, self.kf, pose_update = _pcg_iteration_jit(
+              self.surfels, self.kf, self.depth_intr, self.color_intr,
+              self.a, self.cfactor, self.baseline_fx,
+              jnp.asarray(gauge, jnp.int32),
+              w, h, cw, ch, self.cell_size,
+              self.use_depth_residuals, self.use_descriptor_residuals,
+              self.config.pcg_max_inner_iterations)
+      elif optimize_geometry:
         with Timing.time("BA geometry optimization"):
           self.surfels = _geometry_iteration_jit(
               self.surfels, self.kf, self.depth_intr, self.color_intr,
@@ -458,7 +502,14 @@ class DirectBA:
 
       # --- POSE OPTIMIZATION (batched over keyframes) ---
       num_converged = kcount
-      if optimize_poses:
+      if use_pcg:
+        # The PCG step already updated poses; convergence from the update norm
+        # (IsScale1PoseEstimationConverged analog on the joint step).
+        if float(pose_update) ** 2 * 100.0 < 1e-6:
+          num_converged = kcount
+        else:
+          num_converged = 0
+      elif optimize_poses:
         with Timing.time("BA pose optimization"):
           self.kf, num_converged_dev = _pose_optimization_jit(
               self.surfels, self.kf, self.depth_intr, self.color_intr,

@@ -139,3 +139,20 @@ def test_alternating_ba_recovers_keyframe_pose():
   T2 = np.asarray(ba.kf.global_T_frame)[idx2]
   err = np.asarray(se3.log(se3.inverse(jnp.asarray(T2)) @ T_gt))
   assert np.abs(err).max() < 1e-4, f"error {err} after {iters} iterations"
+
+
+def test_pcg_ba_scheme_recovers_keyframe_pose():
+  """Same as the alternating test, via the use_pcg joint-solver branch of
+  BundleAdjustmentAlternating's dispatcher (direct_ba.cc:407-454)."""
+  ba, cam, kf, T_gt = build_scene(use_descriptors=False)
+  ba.config.use_pcg = True
+  off = jnp.asarray([0.004, -0.003, 0.002, 0.0008, -0.0005, 0.0008], jnp.float32)
+  T2_init = T_gt @ se3.exp(off)
+  idx2 = ba.add_keyframe(
+      kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb, T2_init, 10)
+
+  iters, converged = ba.bundle_adjustment(
+      do_surfel_updates=False, max_iterations=8)
+  T2 = np.asarray(ba.kf.global_T_frame)[idx2]
+  err = np.asarray(se3.log(se3.inverse(jnp.asarray(T2)) @ T_gt))
+  assert np.abs(err).max() < 5e-4, f"error {err} after {iters} iterations"

@@ -1,0 +1,106 @@
+"""PCG joint-solver tests: the matrix-free GN must recover a perturbed
+keyframe pose (gauge fixed at keyframe 0) like the alternating path, while
+jointly updating surfel geometry (direct_ba_pcg.cc semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.models import pcg
+from badslam_tpu.models.association import DepthParamsArrays
+from badslam_tpu.slam.direct_ba import DirectBA
+from badslam_tpu.utils import synthetic
+
+W, H = 160, 120
+
+
+def build(perturb, use_desc=True):
+  cam = synthetic.default_test_camera(W, H)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=2,
+      initial_surfel_capacity=1 << 13,
+  )
+  ba = DirectBA(cfg, cam, cam)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3)
+  inten = synthetic.intensity_function_image(cam) if use_desc else None
+  kf = synthetic.preprocess_like_test_keyframe(depth, cam, intensity=inten,
+                                               cell=2)
+  T_gt = jnp.eye(4, dtype=jnp.float32)
+  ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                  T_gt, 0)
+  T2 = T_gt @ se3.exp(jnp.asarray(perturb, jnp.float32))
+  ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                  T2, 10)
+  ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+  ba.kf = ba.kf._replace(
+      activation=jnp.where(ba.kf.valid, 2, 0).astype(jnp.int32))
+  ba.surfels = ba.surfels._replace(active=ba.surfels.valid)
+  return ba, cam, T_gt
+
+
+@pytest.mark.parametrize("use_desc", [False, True],
+                         ids=["geometric", "with_photometric"])
+def test_pcg_recovers_perturbed_pose(use_desc):
+  perturb = [0.004, -0.003, 0.002, 0.0008, -0.0005, 0.0008]
+  ba, cam, T_gt = build(perturb, use_desc)
+  dp = ba.depth_params()
+
+  kf = ba.kf
+  surfels = ba.surfels
+  for _ in range(6):
+    delta = pcg.pcg_solve(surfels, kf, cam, cam, dp,
+                          gauge_index=jnp.asarray(0, jnp.int32),
+                          max_inner_iterations=30,
+                          use_depth=True, use_desc=use_desc)
+    surfels, kf = pcg.apply_pcg_delta(surfels, kf, delta)
+
+  err0 = np.abs(np.asarray(se3.log(
+      se3.inverse(kf.global_T_frame[0]) @ T_gt))).max()
+  err1 = np.abs(np.asarray(se3.log(
+      se3.inverse(kf.global_T_frame[1]) @ T_gt))).max()
+  # Gauge keyframe must not move; perturbed keyframe must recover. The
+  # joint photometric system oscillates near the optimum in f32 (the step
+  # direction/magnitude were verified against the cost surface), so its
+  # tolerance is looser than the pure-geometric one.
+  assert err0 < 1e-6
+  tol = 2e-4 if not use_desc else 1.5e-3
+  assert err1 < tol, f"keyframe 1 error {err1} (perturbation was 4e-3)"
+  # Surfels must stay finite and near the planes.
+  pos = np.asarray(surfels.pos)[np.asarray(surfels.valid)]
+  assert np.isfinite(pos).all()
+
+
+def test_pcg_hessian_is_consistent_with_init():
+  """alpha_d = p^T H p must be positive for the initial direction, and the
+  Hessian-vector product must be symmetric: p1.H p2 == p2.H p1."""
+  ba, cam, T_gt = build([0.002, 0, 0, 0, 0, 0], use_desc=False)
+  dp = ba.depth_params()
+  g = jnp.asarray(0, jnp.int32)
+
+  r0, M = pcg.pcg_init(ba.surfels, ba.kf, cam, cam, dp, g,
+                       use_depth=True, use_desc=False)
+  h = pcg.apply_hessian(r0, ba.surfels, ba.kf, cam, cam, dp, g,
+                        use_depth=True, use_desc=False)
+  alpha_d = float(r0.dot(h))
+  assert alpha_d > 0
+
+  rng = np.random.default_rng(0)
+  def rand_vec():
+    return pcg.PCGVector(
+        jnp.asarray(rng.normal(size=(ba.kf.capacity, 6)), jnp.float32),
+        jnp.asarray(rng.normal(size=(ba.surfels.capacity,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(ba.surfels.capacity, 2)), jnp.float32))
+  p1, p2 = rand_vec(), rand_vec()
+  h1 = pcg.apply_hessian(p1, ba.surfels, ba.kf, cam, cam, dp, g,
+                         use_depth=True, use_desc=False)
+  h2 = pcg.apply_hessian(p2, ba.surfels, ba.kf, cam, cam, dp, g,
+                         use_depth=True, use_desc=False)
+  a = float(p2.dot(h1))
+  b = float(p1.dot(h2))
+  assert a == pytest.approx(b, rel=1e-3)

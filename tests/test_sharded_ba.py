@@ -103,3 +103,29 @@ def test_sharded_ba_improves_poses():
       @ jnp.asarray(T_gt)))).max() for i in range(3)]
   # Relative spread between keyframes shrinks (gauge may drift commonly).
   assert np.ptp(err1) < np.ptp(err0) or max(err1) < 1e-4
+
+
+def test_sharded_pcg_matches_single_device():
+  """The distributed PCG step (psum'd pose blocks + dot products) must agree
+  with the single-device solver."""
+  ba, cam = build_map()
+  mesh = Mesh(np.asarray(jax.devices()[:8]), (sharded_ba.SURFEL_AXIS,))
+  step = sharded_ba.make_sharded_pcg_step(
+      mesh, cam, cam, cell_size=ba.cell_size, max_inner_iterations=15)
+  surfels = sharded_ba.shard_surfels(ba.surfels, mesh)
+  s_out, kf_out, upd = step(surfels, ba.kf, ba.a, ba.cfactor, ba.baseline_fx,
+                            jnp.asarray(0, jnp.int32))
+  jax.block_until_ready(s_out)
+
+  from badslam_tpu.models import pcg
+  from badslam_tpu.models.association import DepthParamsArrays
+  dp = DepthParamsArrays(a=ba.a, cfactor=ba.cfactor,
+                         baseline_fx=ba.baseline_fx, cell_size=ba.cell_size)
+  delta = pcg.pcg_solve(ba.surfels, ba.kf, cam, cam, dp,
+                        jnp.asarray(0, jnp.int32), max_inner_iterations=15)
+  s_ref, kf_ref = pcg.apply_pcg_delta(ba.surfels, ba.kf, delta)
+
+  np.testing.assert_allclose(np.asarray(kf_out.global_T_frame),
+                             np.asarray(kf_ref.global_T_frame), atol=2e-4)
+  np.testing.assert_allclose(np.asarray(s_out.pos), np.asarray(s_ref.pos),
+                             atol=2e-3)
