@@ -1,0 +1,267 @@
+"""SLAM state snapshot / restore, calibration I/O, and PLY export.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/io.{h,cc}:
+  * SaveState (io.cc:38-183): magic + version, motion model, config, all
+    frame poses, cameras, cfactor image, depth params, keyframe metadata,
+    the 8 persistent surfel attributes, BA counters;
+  * LoadState (io.cc:185-705): restores and re-creates keyframe image data
+    from the dataset;
+  * SaveCalibration / LoadCalibration (io.h:66-74): three text files
+    (depth intrinsics, color intrinsics, depth deformation);
+  * SavePointCloudAsPLY.
+
+TPU-native format: a single .npz archive with the same logical content
+(SURVEY.md §5 checkpoint note). Keyframe image data is NOT stored (as in the
+reference, which reloads it from the dataset); `load_state` re-creates it
+through the provided BadSlam system's preprocessing path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+MAGIC = "BADSLAM_TPU"
+VERSION = 1
+
+
+def save_state(path: str, slam) -> None:
+  """Snapshot the full SLAM state of a BadSlam system to one .npz file."""
+  import jax.numpy as jnp
+  ba = slam.direct_ba
+  kf = ba.kf
+  s = ba.surfels
+  valid = np.asarray(s.valid)
+
+  frame_poses = np.stack(
+      [f.global_T_frame for f in slam.rgbd_video.frames]).astype(np.float32)
+  frame_ts = np.asarray(
+      [f.depth_timestamp for f in slam.rgbd_video.frames], np.float64)
+
+  np.savez_compressed(
+      path,
+      magic=np.asarray(MAGIC),
+      version=np.asarray(VERSION),
+      config=np.asarray(json.dumps(dataclasses.asdict(slam.config))),
+      # Motion model history (bad_slam.h base_kf_tr_frame_).
+      base_kf_tr_frame=np.stack(slam.base_kf_tr_frame).astype(np.float32)
+      if slam.base_kf_tr_frame else np.zeros((0, 4, 4), np.float32),
+      base_kf_index=np.asarray(
+          -1 if slam.base_kf_index is None else slam.base_kf_index),
+      base_kf_global_T_frame=slam.base_kf_global_T_frame.astype(np.float32),
+      last_frame_index=np.asarray(slam.last_frame_index),
+      # Trajectory.
+      frame_poses=frame_poses,
+      frame_timestamps=frame_ts,
+      # Cameras + depth params.
+      depth_intr=np.asarray(ba.depth_intr),
+      color_intr=np.asarray(ba.color_intr),
+      depth_size=np.asarray(ba.depth_size),
+      color_size=np.asarray(ba.color_size),
+      a=np.asarray(ba.a),
+      cfactor=np.asarray(ba.cfactor),
+      baseline_fx=np.asarray(ba.baseline_fx),
+      cell_size=np.asarray(ba.cell_size),
+      # Keyframe metadata (images are re-created from the dataset on load).
+      kf_global_T_frame=np.asarray(kf.global_T_frame),
+      kf_frame_index=np.asarray(kf.frame_index),
+      kf_valid=np.asarray(kf.valid),
+      kf_activation=np.asarray(kf.activation),
+      kf_covis=np.asarray(kf.covis),
+      keyframe_frame_indices=np.asarray(slam.keyframe_frame_indices,
+                                        np.int64),
+      # Surfels: the 8 persistent attributes of valid surfels (io.cc:141-166).
+      surfel_pos=np.asarray(s.pos)[valid],
+      surfel_normal=np.asarray(s.normal)[valid],
+      surfel_radius_sq=np.asarray(s.radius_sq)[valid],
+      surfel_color=np.asarray(s.color)[valid],
+      surfel_desc=np.asarray(s.desc)[valid],
+      # BA counters.
+      ba_iteration_count=np.asarray(ba.ba_iteration_count),
+      num_planned_ba_iterations=np.asarray(slam.num_planned_ba_iterations),
+      last_active_in_ba_iteration=ba.last_active_in_ba_iteration,
+  )
+
+
+def load_state(path: str, slam) -> None:
+  """Restore a snapshot into a freshly-constructed BadSlam system whose
+  rgbd_video matches the one used at save time (LoadState, io.cc:185-705:
+  keyframe image data is re-created from the dataset frames)."""
+  import jax.numpy as jnp
+  from badslam_tpu.models import surfels as surfels_mod
+
+  data = np.load(path, allow_pickle=False)
+  if str(data["magic"]) != MAGIC:
+    raise ValueError(f"Not a {MAGIC} state file: {path}")
+  if int(data["version"]) != VERSION:
+    raise ValueError(f"Unsupported state version {int(data['version'])}")
+
+  ba = slam.direct_ba
+
+  # Trajectory.
+  frame_poses = data["frame_poses"]
+  for i, f in enumerate(slam.rgbd_video.frames[: len(frame_poses)]):
+    f.global_T_frame = frame_poses[i]
+
+  # Cameras + depth params.
+  ba.depth_intr = jnp.asarray(data["depth_intr"])
+  ba.color_intr = jnp.asarray(data["color_intr"])
+  ba.a = jnp.asarray(data["a"])
+  ba.cfactor = jnp.asarray(data["cfactor"])
+  ba.baseline_fx = jnp.asarray(data["baseline_fx"])
+
+  # Keyframes: metadata from snapshot, image data via preprocessing.
+  slam.keyframe_frame_indices = [int(v) for v in
+                                 data["keyframe_frame_indices"]]
+  kf_poses = data["kf_global_T_frame"]
+  kf_valid = data["kf_valid"]
+  n_kf = int(kf_valid.sum())
+  for slot in range(n_kf):
+    frame_index = int(data["kf_frame_index"][slot])
+    processed = slam.preprocess_frame(frame_index)
+    ba.add_keyframe(processed.depth, processed.normals, processed.radius_sq,
+                    processed.intensity, processed.rgb,
+                    jnp.asarray(kf_poses[slot]), frame_index)
+  # Overwrite covisibility/activation with the snapshot's.
+  k = ba.kf.capacity
+  covis = np.zeros((k, k), bool)
+  src = data["kf_covis"]
+  m = min(k, src.shape[0])
+  covis[:m, :m] = src[:m, :m]
+  act = np.zeros((k,), np.int32)
+  act[:m] = data["kf_activation"][:m]
+  ba.kf = ba.kf._replace(
+      covis=jnp.asarray(covis), activation=jnp.asarray(act),
+      global_T_frame=ba.kf.global_T_frame)
+
+  # Surfels.
+  n = int(data["surfel_pos"].shape[0])
+  while ba.surfels.capacity < n:
+    ba.surfels = surfels_mod.grow(ba.surfels, ba.surfels.capacity * 2)
+  cap = ba.surfels.capacity
+
+  def fill(arr, values):
+    out = np.zeros((cap,) + values.shape[1:], values.dtype)
+    out[:n] = values
+    return jnp.asarray(out)
+
+  mask = np.zeros((cap,), bool)
+  mask[:n] = True
+  ba.surfels = ba.surfels._replace(
+      pos=fill(ba.surfels.pos, data["surfel_pos"]),
+      normal=fill(ba.surfels.normal, data["surfel_normal"]),
+      radius_sq=fill(ba.surfels.radius_sq, data["surfel_radius_sq"]),
+      color=fill(ba.surfels.color, data["surfel_color"]),
+      desc=fill(ba.surfels.desc, data["surfel_desc"]),
+      valid=jnp.asarray(mask),
+      active=jnp.asarray(mask),
+      count=jnp.asarray(n, jnp.int32),
+  )
+
+  # Motion model + counters.
+  hist = data["base_kf_tr_frame"]
+  slam.base_kf_tr_frame = [hist[i] for i in range(len(hist))]
+  import jax.numpy as _jnp
+  from badslam_tpu.geometry import se3 as _se3
+  slam.frame_tr_base_kf = [
+      np.asarray(_se3.inverse(_jnp.asarray(h))) for h in slam.base_kf_tr_frame]
+  bki = int(data["base_kf_index"])
+  slam.base_kf_index = None if bki < 0 else bki
+  slam.base_kf_global_T_frame = data["base_kf_global_T_frame"]
+  slam.last_frame_index = int(data["last_frame_index"])
+  ba.ba_iteration_count = int(data["ba_iteration_count"])
+  slam.num_planned_ba_iterations = int(data["num_planned_ba_iterations"])
+  laba = data["last_active_in_ba_iteration"]
+  ba.last_active_in_ba_iteration[: len(laba)] = laba
+
+
+# --- calibration files (io.h:66-74) ---
+
+
+def save_calibration(base_path: str, slam) -> None:
+  """Three text files like the reference: <base>.depth_intrinsics.txt,
+  <base>.color_intrinsics.txt, <base>.deformation.txt."""
+  ba = slam.direct_ba
+  di = np.asarray(ba.depth_intr)
+  ci = np.asarray(ba.color_intr)
+  with open(base_path + ".depth_intrinsics.txt", "w") as f:
+    # Export in the center convention used by calibration.txt files.
+    f.write(f"{di[0]} {di[1]} {di[2] - 0.5} {di[3] - 0.5}\n")
+  with open(base_path + ".color_intrinsics.txt", "w") as f:
+    f.write(f"{ci[0]} {ci[1]} {ci[2] - 0.5} {ci[3] - 0.5}\n")
+  np.savetxt(base_path + ".deformation.txt",
+             np.concatenate([[float(ba.a)], np.asarray(ba.cfactor).ravel()]))
+
+
+def load_calibration(base_path: str, slam) -> None:
+  import jax.numpy as jnp
+  ba = slam.direct_ba
+  with open(base_path + ".depth_intrinsics.txt") as f:
+    fx, fy, cx, cy = (float(v) for v in f.readline().split()[:4])
+  ba.depth_intr = jnp.asarray([fx, fy, cx + 0.5, cy + 0.5], jnp.float32)
+  with open(base_path + ".color_intrinsics.txt") as f:
+    fx, fy, cx, cy = (float(v) for v in f.readline().split()[:4])
+  ba.color_intr = jnp.asarray([fx, fy, cx + 0.5, cy + 0.5], jnp.float32)
+  deform = np.loadtxt(base_path + ".deformation.txt")
+  ba.a = jnp.asarray(deform[0], jnp.float32)
+  ba.cfactor = jnp.asarray(
+      deform[1:].reshape(np.asarray(ba.cfactor).shape), jnp.float32)
+
+
+# --- PLY export (io.h SavePointCloudAsPLY) ---
+
+
+def save_point_cloud_ply(path: str, positions: np.ndarray,
+                         normals: Optional[np.ndarray] = None,
+                         colors: Optional[np.ndarray] = None) -> None:
+  """Binary little-endian PLY with positions (+ optional normals, u8 RGB)."""
+  n = len(positions)
+  props = ["property float x", "property float y", "property float z"]
+  if normals is not None:
+    props += ["property float nx", "property float ny", "property float nz"]
+  if colors is not None:
+    props += ["property uchar red", "property uchar green",
+              "property uchar blue"]
+  header = "\n".join([
+      "ply", "format binary_little_endian 1.0",
+      f"element vertex {n}", *props, "end_header", ""])
+
+  fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+  if normals is not None:
+    fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+  if colors is not None:
+    fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+  rec = np.zeros(n, dtype=fields)
+  rec["x"], rec["y"], rec["z"] = positions.T.astype(np.float32)
+  if normals is not None:
+    rec["nx"], rec["ny"], rec["nz"] = normals.T.astype(np.float32)
+  if colors is not None:
+    rec["red"], rec["green"], rec["blue"] = colors.T.astype(np.uint8)
+  with open(path, "wb") as f:
+    f.write(header.encode("ascii"))
+    rec.tofile(f)
+
+
+def load_point_cloud_ply(path: str):
+  """Reads back PLYs written by save_point_cloud_ply (for tests)."""
+  with open(path, "rb") as f:
+    header = b""
+    while not header.endswith(b"end_header\n"):
+      header += f.readline()
+    lines = header.decode("ascii").splitlines()
+    n = next(int(l.split()[-1]) for l in lines if l.startswith("element vertex"))
+    props = [l.split()[1:] for l in lines if l.startswith("property")]
+    dtype = []
+    for type_, name in props:
+      dtype.append((name, {"float": "<f4", "uchar": "u1"}[type_]))
+    rec = np.fromfile(f, dtype=dtype, count=n)
+  pos = np.stack([rec["x"], rec["y"], rec["z"]], axis=-1)
+  normals = (np.stack([rec["nx"], rec["ny"], rec["nz"]], axis=-1)
+             if "nx" in rec.dtype.names else None)
+  colors = (np.stack([rec["red"], rec["green"], rec["blue"]], axis=-1)
+            if "red" in rec.dtype.names else None)
+  return pos, normals, colors

@@ -1,0 +1,229 @@
+"""CLI entry point: offline TUM-dataset SLAM runs.
+
+Behavioral spec: /root/reference/applications/badslam/src/badslam/main.cc
+(flag set :92-418, frame loop :610-721, final windowed + global BA :724-770,
+exports :772-852). Flag names match the reference (doc/command_line.md) where
+the concept survives on TPU; CUDA/GUI/sensor-specific flags are dropped.
+
+Usage:
+  python -m badslam_tpu.main <dataset_dir> [--export_poses out.txt] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from badslam_tpu.config import BadSlamConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+  p = argparse.ArgumentParser(description="BAD SLAM (TPU-native rebuild)")
+  p.add_argument("dataset", help="TUM-format dataset directory "
+                 "(calibration.txt + associated.txt)")
+  p.add_argument("trajectory", nargs="?", default=None,
+                 help="optional ground-truth trajectory filename "
+                 "(for --follow_input_trajectory runs)")
+
+  # Dataset playback (main.cc:96-134).
+  p.add_argument("--depth_scaling", type=float, default=5000.0,
+                 help="depth = depth_scaling * depth_in_meters")
+  p.add_argument("--target_frame_rate", type=float, default=0.0)
+  p.add_argument("--restrict_fps_to", type=int, default=30)
+  p.add_argument("--start_frame", type=int, default=0)
+  p.add_argument("--end_frame", type=int, default=2**31 - 1)
+  p.add_argument("--pyramid_level_for_depth", type=int, default=0)
+  p.add_argument("--pyramid_level_for_color", type=int, default=0)
+
+  # Odometry (main.cc:163-177).
+  p.add_argument("--num_scales", type=int, default=5)
+  p.add_argument("--no_motion_model", action="store_true")
+
+  # Bundle adjustment (main.cc:186-245).
+  p.add_argument("--keyframe_interval", type=int, default=10)
+  p.add_argument("--max_num_ba_iterations_per_keyframe", type=int, default=10)
+  p.add_argument("--use_deactivation", action="store_true")
+  p.add_argument("--no_geometric_residuals", action="store_true")
+  p.add_argument("--no_photometric_residuals", action="store_true")
+  p.add_argument("--optimize_intrinsics", action="store_true")
+  p.add_argument("--intrinsics_optimization_interval", type=int, default=10)
+  p.add_argument("--final_ba_iterations", type=int, default=0)
+  p.add_argument("--no_surfel_updates", action="store_true")
+  p.add_argument("--sequential_ba", action="store_true")
+  p.add_argument("--use_pcg", action="store_true")
+
+  # Memory (main.cc:247-257).
+  p.add_argument("--max_surfel_count", type=int, default=25_000_000)
+  p.add_argument("--sparsification", type=int, default=4)
+
+  # Surfel reconstruction (main.cc:259-284).
+  p.add_argument("--surfel_merge_dist_factor", type=float, default=0.8)
+  p.add_argument("--min_observation_count_while_bootstrapping_1",
+                 type=int, default=1)
+  p.add_argument("--min_observation_count_while_bootstrapping_2",
+                 type=int, default=2)
+  p.add_argument("--min_observation_count", type=int, default=3)
+
+  # Loop closure (main.cc:286-302).
+  p.add_argument("--no_loop_detection", action="store_true")
+  p.add_argument("--sequential_loop_detection", action="store_true")
+  p.add_argument("--loop_detection_image_frequency", type=float, default=0.0)
+
+  # Depth preprocessing (main.cc:314-356).
+  p.add_argument("--max_depth", type=float, default=3.0)
+  p.add_argument("--baseline_fx", type=float, default=40.0)
+  p.add_argument("--median_filter_and_densify_iterations", type=int,
+                 default=0)
+  p.add_argument("--bilateral_filter_sigma_xy", type=float, default=1.5)
+  p.add_argument("--bilateral_filter_radius_factor", type=float, default=2.0)
+  p.add_argument("--bilateral_filter_sigma_inv_depth", type=float,
+                 default=0.005)
+
+  # Exports / state (main.cc:359-404 + io.h).
+  p.add_argument("--export_point_cloud", default=None)
+  p.add_argument("--export_calibration", default=None)
+  p.add_argument("--export_final_timings", default=None)
+  p.add_argument("--export_poses", default=None)
+  p.add_argument("--import_calibration", default=None)
+  p.add_argument("--save_state", default=None,
+                 help="save a full SLAM state snapshot (.npz) at the end")
+  p.add_argument("--load_state", default=None,
+                 help="restore a state snapshot before processing")
+  p.add_argument("--quiet", action="store_true")
+  return p
+
+
+def config_from_args(args) -> BadSlamConfig:
+  return BadSlamConfig(
+      raw_to_float_depth=1.0 / args.depth_scaling,
+      start_frame=args.start_frame,
+      end_frame=args.end_frame,
+      target_frame_rate=args.target_frame_rate,
+      fps_restriction=args.restrict_fps_to,
+      pyramid_level_for_depth=args.pyramid_level_for_depth,
+      pyramid_level_for_color=args.pyramid_level_for_color,
+      max_depth=args.max_depth,
+      baseline_fx=args.baseline_fx,
+      median_filter_and_densify_iterations=(
+          args.median_filter_and_densify_iterations),
+      bilateral_filter_sigma_xy=args.bilateral_filter_sigma_xy,
+      bilateral_filter_radius_factor=args.bilateral_filter_radius_factor,
+      bilateral_filter_sigma_inv_depth=args.bilateral_filter_sigma_inv_depth,
+      max_surfel_count=args.max_surfel_count,
+      sparse_surfel_cell_size=args.sparsification,
+      surfel_merge_dist_factor=args.surfel_merge_dist_factor,
+      min_observation_count_while_bootstrapping_1=(
+          args.min_observation_count_while_bootstrapping_1),
+      min_observation_count_while_bootstrapping_2=(
+          args.min_observation_count_while_bootstrapping_2),
+      min_observation_count=args.min_observation_count,
+      num_scales=args.num_scales,
+      use_motion_model=not args.no_motion_model,
+      keyframe_interval=args.keyframe_interval,
+      max_num_ba_iterations_per_keyframe=(
+          args.max_num_ba_iterations_per_keyframe),
+      disable_deactivation=not args.use_deactivation,
+      use_geometric_residuals=not args.no_geometric_residuals,
+      use_photometric_residuals=not args.no_photometric_residuals,
+      optimize_intrinsics=args.optimize_intrinsics,
+      intrinsics_optimization_interval=args.intrinsics_optimization_interval,
+      do_surfel_updates=not args.no_surfel_updates,
+      parallel_ba=not args.sequential_ba,
+      use_pcg=args.use_pcg,
+      enable_loop_detection=not args.no_loop_detection,
+      parallel_loop_detection=not args.sequential_loop_detection,
+      loop_detection_image_frequency=args.loop_detection_image_frequency,
+  )
+
+
+def run(args) -> int:
+  from badslam_tpu.io import dataset as dataset_io
+  from badslam_tpu.io import state as state_io
+  from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils.timing import Timing
+
+  config = config_from_args(args)
+  video = dataset_io.load_tum_dataset(
+      args.dataset, args.trajectory,
+      raw_to_float_depth=config.raw_to_float_depth)
+  if not args.quiet:
+    print(f"Loaded {video.frame_count()} frames from {args.dataset} "
+          f"({video.depth_camera.width}x{video.depth_camera.height})")
+
+  slam = BadSlam(config, video)
+  if args.import_calibration:
+    state_io.load_calibration(args.import_calibration, slam)
+  if args.load_state:
+    state_io.load_state(args.load_state, slam)
+
+  end = min(video.frame_count() - 1, config.end_frame)
+  t_start = time.perf_counter()
+  frames_done = 0
+  for frame_index in range(config.start_frame, end + 1):
+    with Timing.time("[BadSlam::ProcessFrame]"):
+      slam.process_frame(frame_index)
+    video.frames[frame_index].clear_cache()
+    frames_done += 1
+    if not args.quiet and frames_done % 50 == 0:
+      elapsed = time.perf_counter() - t_start
+      print(f"frame {frame_index}: {frames_done / elapsed:.1f} FPS, "
+            f"{slam.direct_ba.keyframe_count} keyframes, "
+            f"{slam.direct_ba.surfel_count} surfels")
+
+  # Final BA (main.cc:724-770): windowed geometry-only passes, then global.
+  if args.final_ba_iterations > 0:
+    k = slam.direct_ba.keyframe_count
+    window = 16
+    for window_start in range(0, k, window // 2):
+      slam.direct_ba.bundle_adjustment(
+          do_surfel_updates=config.do_surfel_updates,
+          optimize_poses=False, optimize_geometry=True,
+          min_iterations=5, max_iterations=10,
+          active_keyframe_window_start=window_start,
+          active_keyframe_window_end=window_start + window - 1)
+    for _ in range(args.final_ba_iterations):
+      slam.direct_ba.bundle_adjustment(
+          optimize_depth_intrinsics=config.optimize_intrinsics,
+          optimize_color_intrinsics=config.optimize_intrinsics,
+          do_surfel_updates=config.do_surfel_updates,
+          optimize_poses=True, optimize_geometry=True,
+          min_iterations=2, max_iterations=10,
+          active_keyframe_window_start=0,
+          active_keyframe_window_end=k - 1)
+    slam.update_keyframe_poses_in_video()
+
+  if not args.quiet:
+    elapsed = time.perf_counter() - t_start
+    print(f"Done: {frames_done} frames in {elapsed:.1f} s "
+          f"({frames_done / max(elapsed, 1e-9):.1f} FPS), "
+          f"{slam.direct_ba.keyframe_count} keyframes, "
+          f"{slam.direct_ba.surfel_count} surfels")
+    if slam.loop_detector is not None:
+      print(f"Loops closed: {slam.loop_detector.num_loops_closed}, "
+            f"ignored: {slam.loop_detector.num_loops_ignored}")
+
+  if args.export_point_cloud:
+    pos, nrm, col = slam.direct_ba.export_point_cloud()
+    state_io.save_point_cloud_ply(args.export_point_cloud, pos, nrm, col)
+  if args.export_poses:
+    ts, poses = slam.trajectory()
+    dataset_io.save_tum_trajectory(args.export_poses, ts, poses)
+  if args.export_calibration:
+    state_io.save_calibration(args.export_calibration, slam)
+  if args.export_final_timings:
+    Timing.export_file(args.export_final_timings)
+  if args.save_state:
+    state_io.save_state(args.save_state, slam)
+  return 0
+
+
+def main(argv=None) -> int:
+  args = build_parser().parse_args(argv)
+  return run(args)
+
+
+if __name__ == "__main__":
+  sys.exit(main())

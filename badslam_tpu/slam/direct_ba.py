@@ -459,7 +459,11 @@ class DirectBA:
 
       # --- SURFEL ACTIVATION ---
       with Timing.time("BA surfel activation"):
-        # New surfels (valid now but not before) start active.
+        # New surfels (valid now but not before) start active. The creation
+        # pass may have grown the store's capacity — pad the old mask.
+        if self.surfels.capacity != old_valid.shape[0]:
+          old_valid = jnp.pad(
+              old_valid, (0, self.surfels.capacity - old_valid.shape[0]))
         new_surfels = self.surfels.valid & ~old_valid
         if fixed_active_set:
           self.surfels = self.surfels._replace(active=self.surfels.valid)

@@ -1,0 +1,172 @@
+"""Dataset I/O, state snapshot roundtrip, PLY export, and the CLI entry
+point on a synthetic on-disk TUM dataset."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.io import dataset as dataset_io
+from badslam_tpu.io import state as state_io
+from badslam_tpu.slam.system import BadSlam
+from badslam_tpu.utils import synthetic
+
+W, H = 160, 120
+
+
+def _make_world(seed=7, n_planes=3):
+  rng = np.random.default_rng(seed)
+  normals = []
+  for _ in range(n_planes):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  return np.asarray(normals)
+
+
+def _write_tum_dataset(tmpdir, cam, traj, normals):
+  """Write a real TUM-format dataset: PNGs + calibration + associated."""
+  from PIL import Image as PILImage
+  os.makedirs(os.path.join(tmpdir, "depth"), exist_ok=True)
+  os.makedirs(os.path.join(tmpdir, "rgb"), exist_ok=True)
+  # calibration.txt is center-convention; our camera stores corner.
+  with open(os.path.join(tmpdir, "calibration.txt"), "w") as f:
+    f.write(f"{cam.fx} {cam.fy} {cam.cx - 0.5} {cam.cy - 0.5}\n")
+  lines = []
+  for i, T in enumerate(traj):
+    depth = synthetic.render_planes(cam, T, normals,
+                                    raw_to_float_depth=1 / 5000.0)
+    inten = synthetic.render_intensity(cam, T, depth)
+    u16 = np.round(depth * 5000.0).astype(np.uint16)
+    u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    rgb = np.stack([u8, u8, u8], axis=-1)
+    ts = f"{i / 30.0:.6f}"
+    dpath = f"depth/{ts}.png"
+    cpath = f"rgb/{ts}.png"
+    PILImage.fromarray(u16).save(os.path.join(tmpdir, dpath))
+    PILImage.fromarray(rgb).save(os.path.join(tmpdir, cpath))
+    lines.append(f"{ts} {cpath} {ts} {dpath}\n")
+  with open(os.path.join(tmpdir, "associated.txt"), "w") as f:
+    f.writelines(lines)
+
+
+def test_tum_dataset_roundtrip(tmp_path):
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.004 * i, 0, 0, 0, 0.0008 * i, 0], jnp.float32))) for i in range(3)]
+  _write_tum_dataset(str(tmp_path), cam, traj, normals)
+
+  video = dataset_io.load_tum_dataset(str(tmp_path))
+  assert video.frame_count() == 3
+  assert video.depth_camera.width == W
+  assert float(video.depth_camera.cx) == pytest.approx(float(cam.cx))
+  d = video.depth_metric(1)
+  ref = synthetic.render_planes(cam, traj[1], normals,
+                                raw_to_float_depth=1 / 5000.0)
+  np.testing.assert_allclose(d, ref, atol=1 / 5000.0 + 1e-6)
+
+
+def test_cli_end_to_end(tmp_path):
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0.001 * i, 0, 0.0008 * i, 0, 0], jnp.float32)))
+      for i in range(6)]
+  _write_tum_dataset(str(tmp_path), cam, traj, normals)
+
+  from badslam_tpu.main import main
+  poses_path = str(tmp_path / "poses.txt")
+  ply_path = str(tmp_path / "cloud.ply")
+  timings_path = str(tmp_path / "timings.txt")
+  rc = main([
+      str(tmp_path), "--keyframe_interval", "2", "--num_scales", "3",
+      "--max_depth", "5.0", "--sparsification", "2",
+      "--min_observation_count_while_bootstrapping_1", "1",
+      "--min_observation_count_while_bootstrapping_2", "1",
+      "--min_observation_count", "1",
+      "--no_loop_detection", "--sequential_ba", "--quiet",
+      "--export_poses", poses_path,
+      "--export_point_cloud", ply_path,
+      "--export_final_timings", timings_path,
+  ])
+  assert rc == 0
+
+  # Exported trajectory: parseable TUM format, poses near ground truth.
+  ts, poses = dataset_io.read_tum_trajectory(poses_path)
+  assert len(ts) == 6
+  for i in range(6):
+    err = np.linalg.norm(poses[i][:3, 3] - traj[i][:3, 3])
+    assert err < 6e-3, f"frame {i} error {err}"
+
+  # Exported point cloud: valid PLY on the ground-truth planes.
+  pos, nrm, col = state_io.load_point_cloud_ply(ply_path)
+  assert len(pos) > 300
+  d = np.abs(pos @ normals.T + 2.5).min(axis=1)
+  assert np.quantile(d, 0.9) < 0.01
+
+  assert os.path.getsize(timings_path) > 100
+
+
+def test_state_snapshot_roundtrip(tmp_path):
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0, 0, 0, 0, 0], jnp.float32))) for i in range(5)]
+  video = synthetic.make_synthetic_video(cam, traj, normals)
+  cfg = BadSlamConfig(
+      keyframe_interval=2, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1, enable_loop_detection=False,
+      initial_keyframe_capacity=4, initial_surfel_capacity=1 << 13)
+  slam = BadSlam(cfg, video)
+  for i in range(5):
+    slam.process_frame(i)
+
+  path = str(tmp_path / "state.npz")
+  state_io.save_state(path, slam)
+
+  video2 = synthetic.make_synthetic_video(cam, traj, normals)
+  slam2 = BadSlam(cfg, video2)
+  state_io.load_state(path, slam2)
+
+  assert slam2.direct_ba.keyframe_count == slam.direct_ba.keyframe_count
+  assert slam2.direct_ba.surfel_count == slam.direct_ba.surfel_count
+  np.testing.assert_allclose(
+      np.asarray(slam2.direct_ba.kf.global_T_frame)[:3],
+      np.asarray(slam.direct_ba.kf.global_T_frame)[:3], atol=1e-6)
+  # Surfel sets match (snapshot stores only valid surfels, compacted).
+  v1 = np.asarray(slam.direct_ba.surfels.valid)
+  p1 = np.sort(np.asarray(slam.direct_ba.surfels.pos)[v1], axis=0)
+  v2 = np.asarray(slam2.direct_ba.surfels.valid)
+  p2 = np.sort(np.asarray(slam2.direct_ba.surfels.pos)[v2], axis=0)
+  np.testing.assert_allclose(p1, p2, atol=1e-6)
+  # The restored system can continue processing.
+  slam2.process_frame(4, force_keyframe=True)
+  assert np.isfinite(video2.frames[4].global_T_frame).all()
+
+
+def test_calibration_roundtrip(tmp_path):
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  video = synthetic.make_synthetic_video(cam, [np.eye(4, dtype=np.float32)],
+                                         normals)
+  cfg = BadSlamConfig(initial_keyframe_capacity=2,
+                      initial_surfel_capacity=1 << 10,
+                      enable_loop_detection=False)
+  slam = BadSlam(cfg, video)
+  slam.direct_ba.depth_intr = jnp.asarray([61.0, 59.5, 80.2, 60.1])
+  slam.direct_ba.a = jnp.asarray(0.01, jnp.float32)
+  base = str(tmp_path / "calib")
+  state_io.save_calibration(base, slam)
+
+  slam2 = BadSlam(cfg, video)
+  state_io.load_calibration(base, slam2)
+  np.testing.assert_allclose(np.asarray(slam2.direct_ba.depth_intr),
+                             [61.0, 59.5, 80.2, 60.1], atol=1e-4)
+  assert float(slam2.direct_ba.a) == pytest.approx(0.01, abs=1e-6)
