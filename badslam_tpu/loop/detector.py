@@ -168,10 +168,12 @@ class LoopDetector:
 
   # --- public API ---
 
-  def remove_keyframe(self, db_index: int):
-    """LoopDetector::RemoveImage — keyframe deleted by keyframe merging."""
-    if 0 <= db_index < len(self.entries):
-      self.entries[db_index] = None
+  def remove_keyframe(self, kf_slot: int):
+    """LoopDetector::RemoveImage — keyframe deleted by keyframe merging.
+    Takes the keyframe-store slot (stable under the masked store design)."""
+    for i, e in enumerate(self.entries):
+      if e is not None and e.kf_slot == kf_slot:
+        self.entries[i] = None
 
   def add_keyframe(self, kf_slot: int, intensity: np.ndarray,
                    depth: np.ndarray, slam) -> Optional[LoopClosureEvent]:
@@ -318,6 +320,7 @@ class LoopDetector:
         start_frame=0, end_frame=slam.last_frame_index)
     for i, p in enumerate(frame_poses):
       slam.rgbd_video.frames[i].global_T_frame = p
-    slam.base_kf_global_T_frame = full[slam.base_kf_index]
+    if slam.base_kf_index is not None:
+      slam.base_kf_global_T_frame = full[slam.base_kf_index]
 
     return ev(True, "closed", n_inliers)

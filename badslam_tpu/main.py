@@ -173,6 +173,9 @@ def run(args) -> int:
             f"{slam.direct_ba.keyframe_count} keyframes, "
             f"{slam.direct_ba.surfel_count} surfels")
 
+  # Stop the parallel BA thread before final BA (main.cc:723 implicit).
+  slam.stop_ba_thread_and_wait()
+
   # Final BA (main.cc:724-770): windowed geometry-only passes, then global.
   if args.final_ba_iterations > 0:
     k = slam.direct_ba.keyframe_count

@@ -583,6 +583,63 @@ class DirectBA:
     if optimize_color:
       self.color_intr = color_intr
 
+  # --- keyframe deletion / merging (memory pressure) ---
+
+  def delete_keyframe(self, keyframe_index: int, loop_detector=None):
+    """DirectBA::DeleteKeyframe (direct_ba.cc:207-229). Under the masked
+    store design the slot is invalidated (indices stay stable — no
+    covisibility-list surgery needed beyond clearing the row/column)."""
+    kf = self.kf
+    covis = kf.covis.at[keyframe_index, :].set(False)
+    covis = covis.at[:, keyframe_index].set(False)
+    self.kf = kf._replace(
+        valid=kf.valid.at[keyframe_index].set(False),
+        activation=kf.activation.at[keyframe_index].set(INACTIVE),
+        covis=covis)
+    if loop_detector is not None:
+      loop_detector.remove_keyframe(keyframe_index)
+
+  def merge_keyframes(self, loop_detector=None, approx_merge_count: int = 1):
+    """DirectBA::MergeKeyframes (direct_ba.cc:251-338): rank consecutive
+    keyframe pairs by a combined angle/translation distance (90 deg counts
+    like 0.5 m) and delete the middle keyframes of the closest chains.
+    Keyframe 0 (the reconstruction anchor) is never deleted."""
+    max_angle = 0.5 * np.pi / 2.0      # kMaxAngleDifference
+    max_dist = 0.3                     # kMaxEuclideanDistance
+    valid = np.asarray(self.kf.valid)
+    poses = np.asarray(self.kf.global_T_frame)
+    slots = [i for i in range(self.keyframe_count) if valid[i]]
+    if len(slots) <= 1:
+      return 0
+
+    distances = []  # (weight, prev_id, id, next_id)
+    prev_half = 0.0
+    prev_id = slots[0]
+    for a, b in zip(slots[:-1], slots[1:]):
+      za, zb = poses[a][:3, 2], poses[b][:3, 2]
+      angle = float(np.arccos(np.clip(za @ zb, -1.0, 1.0)))
+      if angle > max_angle:
+        continue
+      dist = float(np.linalg.norm(poses[a][:3, 3] - poses[b][:3, 3]))
+      if dist > max_dist:
+        continue
+      next_half = dist + (0.5 / (np.pi / 2.0)) * angle
+      if a > 0:
+        distances.append((prev_half + next_half, prev_id, a, b))
+      prev_half = next_half
+      prev_id = a
+
+    distances.sort()
+    deleted = 0
+    dead = set()
+    for weight, p, m, nx in distances[:approx_merge_count]:
+      if p in dead or m in dead or nx in dead:
+        continue
+      self.delete_keyframe(m, loop_detector)
+      dead.add(m)
+      deleted += 1
+    return deleted
+
   # --- exports ---
 
   def export_point_cloud(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -126,8 +126,12 @@ class BadSlam:
     self.loop_detector = loop_detector
 
     # Base-keyframe state (bad_slam.h:330+): index into the keyframe store,
-    # cached pose, and the motion-model history (up to 3 relative poses).
+    # cached pose, image data, and the motion-model history (<= 3 relative
+    # poses). The image cache lets odometry track against a keyframe that the
+    # parallel BA thread has not registered in the store yet (the reference's
+    # base_kf_ Keyframe pointer works the same way, bad_slam.cc:997-1000).
     self.base_kf_index: Optional[int] = None
+    self.base_kf_images: Optional[ProcessedFrame] = None
     self.base_kf_global_T_frame = np.eye(4, dtype=np.float32)
     self.base_kf_tr_frame: List[np.ndarray] = []
     self.frame_tr_base_kf: List[np.ndarray] = []
@@ -140,6 +144,22 @@ class BadSlam:
     # frame_index of each keyframe slot (for trajectory deformation).
     self.keyframe_frame_indices: List[int] = []
 
+    # Parallel-BA machinery (bad_slam.cc:1160-1313): a keyframe queue with
+    # relative poses for post-BA fixup, an iteration-options queue, and the
+    # BA thread. Shared state is guarded by _ba_lock (ba_thread_mutex_).
+    import threading
+    self._ba_lock = threading.Lock()
+    self._ba_condition = threading.Condition(self._ba_lock)
+    self._queued_keyframes: List[tuple] = []  # (processed, frame_idx, rel_T)
+    self._parallel_iteration_queue: List[dict] = []
+    self._quit_requested = False
+    self._ba_thread = None
+    self._parallel = bool(config.parallel_ba and config.estimate_poses)
+    if self._parallel:
+      self._ba_thread = threading.Thread(
+          target=self._ba_thread_main, name="ba_thread", daemon=True)
+      self._ba_thread.start()
+
   # --- per-frame pipeline ---
 
   def process_frame(self, frame_index: int, force_keyframe: bool = False):
@@ -151,7 +171,7 @@ class BadSlam:
       processed = self.preprocess_frame(frame_index)
 
     self.pose_estimated = False
-    if cfg.estimate_poses and self.base_kf_index is not None:
+    if cfg.estimate_poses and self.base_kf_images is not None:
       with Timing.time("Odometry"):
         self.run_odometry(frame_index, processed)
       self.pose_estimated = True
@@ -166,19 +186,27 @@ class BadSlam:
 
     if self.num_planned_ba_iterations > 0:
       self.ba_counter += 1
-      k = self.direct_ba.keyframe_count
+      with self._ba_lock:
+        k = self.direct_ba.keyframe_count + len(self._queued_keyframes)
       optimize_depth_intrinsics = (
           cfg.optimize_intrinsics and k >= 10 and
           (k <= 20 or self.ba_counter % cfg.intrinsics_optimization_interval == 0))
-      iterations_done, converged = self.run_bundle_adjustment(
-          optimize_depth_intrinsics and cfg.use_geometric_residuals,
-          optimize_depth_intrinsics and cfg.use_photometric_residuals,
-          self.num_planned_ba_iterations)
-      if converged:
+      if self._parallel:
+        self.start_parallel_iterations(
+            self.num_planned_ba_iterations,
+            optimize_depth_intrinsics and cfg.use_geometric_residuals,
+            optimize_depth_intrinsics and cfg.use_photometric_residuals)
         self.num_planned_ba_iterations = 0
       else:
-        self.num_planned_ba_iterations = max(
-            0, self.num_planned_ba_iterations - iterations_done)
+        iterations_done, converged = self.run_bundle_adjustment(
+            optimize_depth_intrinsics and cfg.use_geometric_residuals,
+            optimize_depth_intrinsics and cfg.use_photometric_residuals,
+            self.num_planned_ba_iterations)
+        if converged:
+          self.num_planned_ba_iterations = 0
+        else:
+          self.num_planned_ba_iterations = max(
+              0, self.num_planned_ba_iterations - iterations_done)
 
   def preprocess_frame(self, frame_index: int) -> ProcessedFrame:
     cfg = self.config
@@ -224,14 +252,9 @@ class BadSlam:
     est1, est2 = self.predict_frame_pose()
     w, h = ba.depth_size
 
-    kfs = ba.kf
-    i = self.base_kf_index
-    base_depth = kfs.depth[i]
-    base_normals = kfs.normals[i]
-    base_intensity = kfs.intensity[i]
-
+    base = self.base_kf_images
     base_T_frame = _odometry_jit(
-        base_depth, base_normals, base_intensity,
+        base.depth, base.normals, base.intensity,
         processed.raw_depth, processed.normals, processed.intensity,
         ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
         jnp.asarray(est1), jnp.asarray(est2),
@@ -240,9 +263,10 @@ class BadSlam:
         True)
     base_T_frame = np.asarray(base_T_frame)
 
-    new_global_T_frame = self.base_kf_global_T_frame @ base_T_frame
-    self.rgbd_video.frames[frame_index].global_T_frame = new_global_T_frame
-    self.last_frame_index = frame_index
+    with self._ba_lock:
+      new_global_T_frame = self.base_kf_global_T_frame @ base_T_frame
+      self.rgbd_video.frames[frame_index].global_T_frame = new_global_T_frame
+      self.last_frame_index = frame_index
 
     if len(self.base_kf_tr_frame) >= 3:
       self.base_kf_tr_frame.pop(0)
@@ -251,24 +275,77 @@ class BadSlam:
     self.frame_tr_base_kf.append(
         np.asarray(se3.inverse(jnp.asarray(base_T_frame))))
 
-  def create_keyframe(self, frame_index: int, processed: ProcessedFrame):
-    """CreateKeyframe (bad_slam.cc:953-1097), sequential path."""
+  def _add_keyframe_to_ba(self, processed: ProcessedFrame, frame_index: int,
+                          global_T_frame: np.ndarray) -> int:
+    """AddKeyframeToBA (bad_slam.cc:1120-1158): register in the store, run
+    loop detection, create first-keyframe surfels. Caller must NOT hold
+    _ba_lock (loop detection re-enters SLAM state)."""
     ba = self.direct_ba
-    cfg = self.config
-    global_T_frame = self.rgbd_video.frames[frame_index].global_T_frame
-
     idx = ba.add_keyframe(
         processed.depth, processed.normals, processed.radius_sq,
         processed.intensity, processed.rgb,
         jnp.asarray(global_T_frame), frame_index)
     self.keyframe_frame_indices.append(frame_index)
-    self.base_kf_index = idx
-    self.base_kf_global_T_frame = np.asarray(global_T_frame)
-
+    if ba.keyframe_count == 1:
+      # First keyframe: create surfels unfiltered (bad_slam.cc:1087-1094).
+      ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
+    elif not self.config.do_surfel_updates:
+      ba.create_surfels_for_keyframe(idx, filter_new_surfels=True)
     if self.loop_detector is not None:
       self.loop_detector.add_keyframe(
           idx, np.asarray(processed.intensity),
           np.asarray(processed.depth), self)
+    return idx
+
+  def _check_memory_pressure(self):
+    """Low-HBM watchdog (bad_slam.cc:958-968): merge keyframes when free
+    device memory drops below min_free_gpu_memory_mb + ~one keyframe."""
+    approx_keyframe_bytes = 4 * 1024 * 1024  # kApproxKeyframeSize
+    try:
+      stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+      return
+    if not stats:
+      return
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    used = stats.get("bytes_in_use")
+    if not limit or used is None:
+      return
+    free = limit - used
+    if free < (self.config.min_free_gpu_memory_mb * 1024 * 1024
+               + approx_keyframe_bytes):
+      with self._ba_lock:
+        deleted = self.direct_ba.merge_keyframes(self.loop_detector)
+      if deleted:
+        print(f"WARNING: low device memory; merged {deleted} keyframe(s)")
+
+  def create_keyframe(self, frame_index: int, processed: ProcessedFrame):
+    """CreateKeyframe (bad_slam.cc:953-1097)."""
+    ba = self.direct_ba
+    cfg = self.config
+    self._check_memory_pressure()
+    global_T_frame = self.rgbd_video.frames[frame_index].global_T_frame
+
+    # Relative pose of this keyframe wrt the previous one, for the BA
+    # thread's absolute-pose fixup (bad_slam.cc:1035-1037,1229-1231).
+    last_kf_T_this = (self.base_kf_tr_frame[-1] if self.base_kf_tr_frame
+                      else np.eye(4, dtype=np.float32))
+
+    if self._parallel:
+      with self._ba_lock:
+        self._queued_keyframes.append(
+            (processed, frame_index, last_kf_T_this))
+        keyframes_added = (len(self._queued_keyframes)
+                           + ba.keyframe_count)
+        self.base_kf_index = None  # resolved when the BA thread adds it
+        self.base_kf_global_T_frame = np.asarray(global_T_frame)
+    else:
+      idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame)
+      self.base_kf_index = idx
+      self.base_kf_global_T_frame = np.asarray(global_T_frame)
+      keyframes_added = ba.keyframe_count
+
+    self.base_kf_images = processed
 
     # Rebase the motion-model history onto the new base keyframe
     # (bad_slam.cc:1062-1075).
@@ -285,16 +362,122 @@ class BadSlam:
       self.frame_tr_base_kf.append(np.eye(4, dtype=np.float32))
 
     if not cfg.estimate_poses:
-      return idx
+      return
 
-    if ba.keyframe_count >= 2:
-      if not cfg.do_surfel_updates:
-        ba.create_surfels_for_keyframe(idx, filter_new_surfels=True)
+    if keyframes_added >= 2:
       self.num_planned_ba_iterations += cfg.max_num_ba_iterations_per_keyframe
-    else:
-      # First keyframe: create surfels unfiltered (bad_slam.cc:1087-1094).
-      ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
-    return idx
+
+  # --- parallel BA (BAThreadMain, bad_slam.cc:1160-1313) ---
+
+  def start_parallel_iterations(self, num_planned: int,
+                                optimize_depth_intrinsics: bool,
+                                optimize_color_intrinsics: bool):
+    """StartParallelIterations (bad_slam.cc:1160-1190): enqueue up to
+    max_num_ba_iterations_per_keyframe iteration requests."""
+    options = dict(
+        optimize_depth_intrinsics=optimize_depth_intrinsics,
+        optimize_color_intrinsics=optimize_color_intrinsics,
+        do_surfel_updates=self.config.do_surfel_updates,
+    )
+    with self._ba_condition:
+      cap = self.config.max_num_ba_iterations_per_keyframe
+      to_queue = min(cap - len(self._parallel_iteration_queue), num_planned)
+      for _ in range(max(0, to_queue)):
+        self._parallel_iteration_queue.append(options)
+      self._ba_condition.notify_all()
+
+  def _drain_keyframe_queue_locked(self):
+    """Register queued keyframes with absolute-pose fixup from the relative
+    pose (the last registered keyframe may have moved during BA). Must be
+    called with _ba_lock HELD; releases and re-acquires it around the
+    registration work."""
+    while self._queued_keyframes:
+      processed, frame_index, last_kf_T_this = self._queued_keyframes.pop(0)
+      ba = self.direct_ba
+      if ba.keyframe_count > 0:
+        last_slot = ba.keyframe_count - 1
+        last_pose = np.asarray(ba.kf.global_T_frame)[last_slot]
+        global_T_frame = last_pose @ last_kf_T_this
+      else:
+        global_T_frame = self.rgbd_video.frames[frame_index].global_T_frame
+      self._ba_lock.release()
+      try:
+        idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame)
+      finally:
+        self._ba_lock.acquire()
+      self.rgbd_video.frames[frame_index].global_T_frame = \
+          np.asarray(global_T_frame)
+      if self._queued_keyframes == [] and self.base_kf_index is None:
+        self.base_kf_index = idx
+        self.base_kf_global_T_frame = np.asarray(global_T_frame)
+
+  def _ba_thread_main(self):
+    while True:
+      with self._ba_condition:
+        while not self._parallel_iteration_queue and not self._quit_requested:
+          self._ba_condition.wait(timeout=0.1)
+        if self._quit_requested:
+          return
+        options = self._parallel_iteration_queue.pop(0)
+        self._drain_keyframe_queue_locked()
+        original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
+
+      # One BA iteration over all keyframes (the BA thread never uses
+      # deactivation or PCG, bad_slam.cc:1268-1289).
+      k = self.direct_ba.keyframe_count
+      if k >= 2:
+        self.direct_ba.bundle_adjustment(
+            optimize_depth_intrinsics=options["optimize_depth_intrinsics"],
+            optimize_color_intrinsics=options["optimize_color_intrinsics"],
+            do_surfel_updates=options["do_surfel_updates"],
+            optimize_poses=True, optimize_geometry=True,
+            min_iterations=0, max_iterations=1,
+            active_keyframe_window_start=0,
+            active_keyframe_window_end=k - 1,
+            increase_ba_iteration_count=False)
+
+      with self._ba_lock:
+        # Trajectory deformation + base keyframe pose refresh
+        # (bad_slam.cc:1291-1300).
+        from badslam_tpu.loop.trajectory_deformation import (
+            extrapolate_and_interpolate_keyframe_pose_changes)
+        new_poses = np.asarray(self.direct_ba.kf.global_T_frame)
+        n_kf = len(self.keyframe_frame_indices)
+        if n_kf and self.last_frame_index >= 0:
+          frame_poses = [f.global_T_frame for f in self.rgbd_video.frames]
+          orig_frame_T_global = np.asarray(
+              se3.inverse(jnp.asarray(original[:n_kf])))
+          for slot in range(n_kf):
+            frame_poses[self.keyframe_frame_indices[slot]] = new_poses[slot]
+          extrapolate_and_interpolate_keyframe_pose_changes(
+              self.keyframe_frame_indices, orig_frame_T_global,
+              new_poses[:n_kf], frame_poses,
+              start_frame=self.config.start_frame,
+              end_frame=self.last_frame_index)
+          for i, p in enumerate(frame_poses):
+            self.rgbd_video.frames[i].global_T_frame = p
+        if self.base_kf_index is not None:
+          self.base_kf_global_T_frame = new_poses[self.base_kf_index]
+
+  def stop_ba_thread_and_wait(self):
+    """StopBAThreadAndWaitForIt (bad_slam.h): finish queued work, stop the
+    thread, and register any keyframes still in the queue."""
+    if self._ba_thread is None:
+      return
+    # Let the thread drain its iteration queue first.
+    import time as _time
+    while True:
+      with self._ba_lock:
+        if not self._parallel_iteration_queue:
+          break
+      _time.sleep(0.01)
+    with self._ba_condition:
+      self._quit_requested = True
+      self._ba_condition.notify_all()
+    self._ba_thread.join(timeout=300.0)
+    self._ba_thread = None
+    with self._ba_lock:
+      self._drain_keyframe_queue_locked()
 
   def run_bundle_adjustment(self, optimize_depth_intrinsics: bool,
                             optimize_color_intrinsics: bool,

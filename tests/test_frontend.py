@@ -109,3 +109,45 @@ def test_motion_model_prediction(synthetic_run):
   assert 1 <= len(slam.base_kf_tr_frame) <= 3
   est1, est2 = slam.predict_frame_pose()
   assert np.isfinite(est1).all() and np.isfinite(est2).all()
+
+
+def test_frontend_parallel_ba_matches_sequential():
+  """parallel_ba=True runs BA on a background thread with queued keyframes
+  and pose fixups (BAThreadMain, bad_slam.cc:1160-1313); the trajectory must
+  stay mm-accurate like the sequential path."""
+  cam = synthetic.default_test_camera(W, H)
+  rng = np.random.default_rng(7)
+  normals = []
+  for _ in range(3):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  normals = np.asarray(normals)
+
+  n_frames = 12
+  traj_gt = make_trajectory(n_frames)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+
+  cfg = BadSlamConfig(
+      keyframe_interval=4, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      enable_loop_detection=False,
+      parallel_ba=True)
+  slam = BadSlam(cfg, video)
+  for i in range(n_frames):
+    slam.process_frame(i)
+  slam.stop_ba_thread_and_wait()
+
+  assert slam.direct_ba.keyframe_count == 3
+  assert slam.direct_ba.surfel_count > 500
+  errs_t = []
+  for i in range(n_frames):
+    T_est = video.frames[i].global_T_frame
+    d = np.asarray(se3.log(
+        se3.inverse(jnp.asarray(T_est)) @ jnp.asarray(traj_gt[i])))
+    errs_t.append(np.linalg.norm(d[:3]))
+  assert max(errs_t) < 6e-3, f"translation errors {errs_t}"

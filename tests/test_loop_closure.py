@@ -181,7 +181,8 @@ def test_loop_closure_applied_on_drifted_map():
       min_observation_count_while_bootstrapping_1=1,
       min_observation_count_while_bootstrapping_2=1,
       min_observation_count=1,
-      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14)
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      parallel_ba=False)  # the test mutates poses synchronously
   detector = LoopDetector(cfg, cam, recent_exclude=2)
   slam = BadSlam(cfg, video, loop_detector=detector)
   for i in range(10):
