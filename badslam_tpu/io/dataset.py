@@ -25,6 +25,15 @@ from badslam_tpu.geometry.camera import PinholeCamera
 
 
 def _load_image(path: str) -> np.ndarray:
+  """Decode an image, preferring the native libpng path (native/dataloader.cc)
+  over PIL when the shared library is built."""
+  if path.lower().endswith(".png"):
+    try:
+      from badslam_tpu.io import native_loader
+      if native_loader.native_available():
+        return native_loader.decode_png(path)
+    except Exception:
+      pass
   from PIL import Image as PILImage
   with PILImage.open(path) as im:
     arr = np.asarray(im)
@@ -42,19 +51,32 @@ class Frame:
       default_factory=lambda: np.eye(4, dtype=np.float32))
   _rgb: Optional[np.ndarray] = None
   _depth: Optional[np.ndarray] = None
+  _loader: Optional[object] = None       # NativePrefetchLoader
+  _loader_index: int = -1
+
+  def _fetch(self):
+    depth, rgb = self._loader.get(self._loader_index)
+    self._depth = depth
+    self._rgb = rgb
 
   def rgb(self) -> np.ndarray:
     if self._rgb is None:
-      img = _load_image(self.rgb_path)
-      if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-      self._rgb = img[..., :3].astype(np.uint8)
+      if self._loader is not None:
+        self._fetch()
+      else:
+        img = _load_image(self.rgb_path)
+        if img.ndim == 2:
+          img = np.stack([img] * 3, axis=-1)
+        self._rgb = img[..., :3].astype(np.uint8)
     return self._rgb
 
   def depth_raw(self) -> np.ndarray:
     """Raw u16 depth image."""
     if self._depth is None:
-      self._depth = _load_image(self.depth_path).astype(np.uint16)
+      if self._loader is not None:
+        self._fetch()
+      else:
+        self._depth = _load_image(self.depth_path).astype(np.uint16)
     return self._depth
 
   def clear_cache(self):
@@ -70,6 +92,7 @@ class RGBDVideo:
   color_camera: PinholeCamera
   depth_camera: PinholeCamera
   raw_to_float_depth: float = 1.0 / 5000.0
+  _prefetch_loader: Optional[object] = None
 
   def frame_count(self) -> int:
     return len(self.frames)
@@ -77,6 +100,30 @@ class RGBDVideo:
   def depth_metric(self, index: int) -> np.ndarray:
     """(H, W) float32 metric depth, 0 = invalid."""
     return self.frames[index].depth_raw().astype(np.float32) * self.raw_to_float_depth
+
+  def enable_native_prefetch(self, prefetch: int = 4, threads: int = 2
+                             ) -> bool:
+    """Switch frame loading to the native prefetching thread pool
+    (PreLoadThread equivalent). Returns False when the native library is
+    unavailable or frames are in-memory."""
+    from badslam_tpu.io import native_loader
+    if not native_loader.native_available():
+      return False
+    if not all(f.depth_path.lower().endswith(".png")
+               and f.rgb_path.lower().endswith(".png") for f in self.frames):
+      return False
+    try:
+      loader = native_loader.NativePrefetchLoader(
+          [f.depth_path for f in self.frames],
+          [f.rgb_path for f in self.frames],
+          prefetch=prefetch, threads=threads)
+    except Exception:
+      return False
+    self._prefetch_loader = loader
+    for i, f in enumerate(self.frames):
+      f._loader = loader
+      f._loader_index = i
+    return True
 
 
 def read_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:

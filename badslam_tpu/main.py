@@ -153,6 +153,11 @@ def run(args) -> int:
     print(f"Loaded {video.frame_count()} frames from {args.dataset} "
           f"({video.depth_camera.width}x{video.depth_camera.height})")
 
+  # Native prefetch pipeline (PreLoadThread equivalent, main.cc:569).
+  if video.enable_native_prefetch():
+    if not args.quiet:
+      print("Using native prefetching data loader")
+
   slam = BadSlam(config, video)
   if args.import_calibration:
     state_io.load_calibration(args.import_calibration, slam)

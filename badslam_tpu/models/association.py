@@ -28,6 +28,7 @@ from badslam_tpu.geometry import se3
 from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.ops import depth_model
 from badslam_tpu.ops.depth_proc import normals_3d
+from badslam_tpu.ops.interp import gather_image
 
 # kernels.cuh:56-58 — cos(40 deg)
 COS_NORMAL_COMPATIBILITY_THRESHOLD = 0.76604
@@ -96,10 +97,10 @@ def associate_surfels(
   px = jnp.clip(pxy[..., 0].astype(jnp.int32), 0, depth_cam.width - 1)
   py = jnp.clip(pxy[..., 1].astype(jnp.int32), 0, depth_cam.height - 1)
 
-  measured = kf_depth[py, px]
+  measured = gather_image(kf_depth, py, px)
   depth_ok = measured > 0.0
 
-  cfac = dp.cfactor[py // dp.cell_size, px // dp.cell_size]
+  cfac = gather_image(dp.cfactor, py // dp.cell_size, px // dp.cell_size)
   calibrated = depth_model.calibrate_depth(dp.a, cfac, measured)
 
   local_normal = se3.rotate(frame_T_global, normal)
@@ -118,7 +119,7 @@ def associate_surfels(
   facing = jnp.sum(local_pos * local_normal, axis=-1) <= 0.0
 
   # Normal compatibility with the measurement.
-  pixel_normal = normals_3d(kf_normals[py, px])
+  pixel_normal = normals_3d(gather_image(kf_normals, py, px))
   compat = (
       jnp.sum(local_normal * pixel_normal, axis=-1)
       >= COS_NORMAL_COMPATIBILITY_THRESHOLD

@@ -170,6 +170,37 @@ def projected_position_pose_jacobian(
   return jnp.stack([j0, j1, j2, j3, j4, j5], axis=-1)
 
 
+def descriptor_terms_fused(
+    intensity: jax.Array,
+    pxy: jax.Array,
+    t1_pxy: jax.Array,
+    t2_pxy: jax.Array,
+    desc: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+  """Fused (r1, r2, grad_x_1, grad_y_1, grad_x_2, grad_y_2).
+
+  raw_descriptor_residual + descriptor_grads share all 12 bilinear taps; the
+  unfused pair costs 24 gathers per surfel. Gathers are the hot-path
+  bottleneck on TPU (random access runs at ~VPU scalar rate), so this path
+  (a) fuses value+gradient and (b) packs each 2x2 neighborhood into one
+  uint32 (pack_bilinear_u32) — 3 gathers total instead of 24. The u8
+  quantization is exact: intensity images carry u8-step values, like the
+  reference's uchar color texture.
+  """
+  packed = interp.pack_bilinear_u32(intensity)
+  c, c_dx, c_dy = interp.sample_bilinear_packed_with_grad(
+      packed, pxy[..., 0], pxy[..., 1])
+  i1, t1_dx, t1_dy = interp.sample_bilinear_packed_with_grad(
+      packed, t1_pxy[..., 0], t1_pxy[..., 1])
+  i2, t2_dx, t2_dy = interp.sample_bilinear_packed_with_grad(
+      packed, t2_pxy[..., 0], t2_pxy[..., 1])
+  r1 = 180.0 * (i1 - c) - desc[..., 0]
+  r2 = 180.0 * (i2 - c) - desc[..., 1]
+  return (r1, r2,
+          180.0 * (t1_dx - c_dx), 180.0 * (t1_dy - c_dy),
+          180.0 * (t2_dx - c_dx), 180.0 * (t2_dy - c_dy))
+
+
 def descriptor_weight(raw_residual: jax.Array, scaling: float = 1.0) -> jax.Array:
   return scaling * DESCRIPTOR_RESIDUAL_WEIGHT * robust.huber_weight(
       raw_residual, DESCRIPTOR_HUBER_PARAMETER

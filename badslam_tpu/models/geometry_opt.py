@@ -96,10 +96,8 @@ def accumulate_one_keyframe(
         surfels.pos, surfels.normal, surfels.radius_sq,
         frame_T_global[0:3, 0:3], frame_T_global[0:3, 3], color_cam,
     )
-    r1, r2 = cost.raw_descriptor_residual(
+    r1, r2, gx1, gy1, gx2, gy2 = cost.descriptor_terms_fused(
         kf_intensity, color_pxy, t1_pxy, t2_pxy, surfels.desc)
-    gx1, gy1, gx2, gy2 = cost.descriptor_grads(
-        kf_intensity, color_pxy, t1_pxy, t2_pxy)
 
     # d r_i / d (position offset along normal): chain rule through the
     # projected position (kernel_opt_geometry.cu:188-192).

@@ -90,9 +90,10 @@ def _accumulate(
     cell_id = cell_y * wc + cell_x
 
     if optimize_depth:
-      raw_depth = depth_img[assoc.py, assoc.px]
+      from badslam_tpu.ops.interp import gather_image as _gi
+      raw_depth = _gi(depth_img, assoc.py, assoc.px)
       raw_inv = 1.0 / jnp.maximum(raw_depth, 1e-12)
-      cfac = dp.cfactor[cell_y, cell_x]
+      cfac = _gi(dp.cfactor, cell_y, cell_x)
       exp_inv = jnp.exp(-dp.a * raw_inv)
       corrected_inv = cfac * exp_inv + raw_inv
       dm = m & (jnp.abs(corrected_inv) > 1e-4)
@@ -143,10 +144,8 @@ def _accumulate(
       t1_pxy, t2_pxy = cost.tangent_projections(
           surfels.pos, surfels.normal, surfels.radius_sq,
           frame_T_global[0:3, 0:3], frame_T_global[0:3, 3], color_cam)
-      r1, r2 = cost.raw_descriptor_residual(
+      r1, r2, gx1, gy1, gx2, gy2 = cost.descriptor_terms_fused(
           intensity_img, color_pxy, t1_pxy, t2_pxy, surfels.desc)
-      gx1, gy1, gx2, gy2 = cost.descriptor_grads(
-          intensity_img, color_pxy, t1_pxy, t2_pxy)
       for (gx, gy, rr_) in ((gx1, gy1, r1), (gx2, gy2, r2)):
         J = jnp.stack([gx * nx, gy * ny, gx, gy], axis=-1)
         w_ = cost.descriptor_weight(rr_)

@@ -102,7 +102,7 @@ def _frame_to_frame_terms(
   px = jnp.clip(pxy[:, 0].astype(jnp.int32), 0, w - 1)
   py = jnp.clip(pxy[:, 1].astype(jnp.int32), 0, h - 1)
 
-  frame_depth = tracked.depth[py, px]
+  frame_depth = interp.gather_image(tracked.depth, py, px)
   fd_ok = frame_depth > 0.0
 
   # Association test with the base pixel as the implicit surfel
@@ -115,7 +115,7 @@ def _frame_to_frame_terms(
   thresh = (threshold_factor * DEPTH_TUKEY_PARAMETER) / inv_stddev
   band_ok = jnp.abs(local[:, 2] - frame_depth) <= thresh
   facing = jnp.sum(local * local_n, axis=-1) <= 0.0
-  tracked_n = normals_3d(tracked.normals[py, px])
+  tracked_n = normals_3d(interp.gather_image(tracked.normals, py, px))
   compat = jnp.sum(local_n * tracked_n, axis=-1) >= COS_NORMAL_COMPATIBILITY_THRESHOLD
   mask = d_ok & in_img & fd_ok & band_ok & facing & compat
 
@@ -162,9 +162,8 @@ def _frame_to_frame_terms(
   dmask = mask & has_nbr & t_in
 
   tr_int = tracked.intensity
-  r1, r2 = cost.raw_descriptor_residual(
+  r1, r2, gx1, gy1, gx2, gy2 = cost.descriptor_terms_fused(
       tr_int, pxy, t1_pxy, t2_pxy, jnp.stack([desc1, desc2], axis=-1))
-  gx1, gy1, gx2, gy2 = cost.descriptor_grads(tr_int, pxy, t1_pxy, t2_pxy)
   desc_J1 = cost.projected_position_pose_jacobian(
       gx1 * depth_cam.fx, gy1 * depth_cam.fy, local)
   desc_J2 = cost.projected_position_pose_jacobian(

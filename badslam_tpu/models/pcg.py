@@ -132,10 +132,8 @@ def _compute_terms(
     t1_pxy, t2_pxy = cost.tangent_projections(
         surfels.pos, surfels.normal, surfels.radius_sq,
         frame_T_global[0:3, 0:3], frame_T_global[0:3, 3], color_cam)
-    r1, r2 = cost.raw_descriptor_residual(
+    r1, r2, gx1, gy1, gx2, gy2 = cost.descriptor_terms_fused(
         kf_intensity, color_pxy, t1_pxy, t2_pxy, surfels.desc)
-    gx1, gy1, gx2, gy2 = cost.descriptor_grads(
-        kf_intensity, color_pxy, t1_pxy, t2_pxy)
     J1p = cost.projected_position_pose_jacobian(
         gx1 * color_cam.fx, gy1 * color_cam.fy, assoc.local_pos)
     J2p = cost.projected_position_pose_jacobian(

@@ -98,10 +98,8 @@ def accumulate_pose_h_b(
         surfels.pos, surfels.normal, surfels.radius_sq,
         frame_T_global[0:3, 0:3], frame_T_global[0:3, 3], color_cam,
     )
-    r1, r2 = cost.raw_descriptor_residual(
-        kf_intensity, color_pxy, t1_pxy, t2_pxy, surfels.desc
-    )
-    gx1, gy1, gx2, gy2 = cost.descriptor_grads(kf_intensity, color_pxy, t1_pxy, t2_pxy)
+    r1, r2, gx1, gy1, gx2, gy2 = cost.descriptor_terms_fused(
+        kf_intensity, color_pxy, t1_pxy, t2_pxy, surfels.desc)
     # Scale gradients by the *center-convention* focal lengths
     # (kernel_opt_pose.cu:117-120; fx is identical in both conventions).
     J1 = cost.projected_position_pose_jacobian(

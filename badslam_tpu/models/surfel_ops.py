@@ -360,7 +360,8 @@ def delete_surfels_and_update_radii(
     obs = obs + m.astype(jnp.int32)
     fsv = fsv + (assoc.free_space_violation & valid).astype(jnp.int32)
     if update_radii:
-      r_obs = radius_img[assoc.py, assoc.px]
+      from badslam_tpu.ops.interp import gather_image as _gi
+      r_obs = _gi(radius_img, assoc.py, assoc.px)
       min_r = jnp.where(m, jnp.minimum(min_r, r_obs), min_r)
     return (obs, fsv, min_r), None
 

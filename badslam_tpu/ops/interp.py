@@ -21,11 +21,28 @@ import jax.numpy as jnp
 
 
 def gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
-  """img[iy, ix] with clamp-to-edge (CUDA texture address mode)."""
+  """img[iy, ix] with clamp-to-edge (CUDA texture address mode).
+
+  Lowered as a 1D gather on the flattened image: XLA's TPU lowering of 1D
+  row gathers is ~30-40% faster than the equivalent 2D gather (measured on
+  v5e; see bench notes in the sampling kernels)."""
   h, w = img.shape[0], img.shape[1]
   iy = jnp.clip(iy, 0, h - 1)
   ix = jnp.clip(ix, 0, w - 1)
-  return img[iy, ix]
+  lin = iy * w + ix
+  return jnp.take(img.reshape(-1), lin.reshape(-1), axis=0).reshape(lin.shape)
+
+
+def gather_image(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+  """Clamped integer-pixel lookup for (H, W) or (H, W, C) images via a
+  single linearized 1D gather (fast path on TPU)."""
+  h, w = img.shape[0], img.shape[1]
+  iy = jnp.clip(iy, 0, h - 1)
+  ix = jnp.clip(ix, 0, w - 1)
+  lin = (iy * w + ix).reshape(-1)
+  flat = img.reshape((h * w,) + img.shape[2:])
+  out = jnp.take(flat, lin, axis=0)
+  return out.reshape(iy.shape + img.shape[2:])
 
 
 def _lerp_setup(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, ...]:
@@ -84,3 +101,45 @@ def sample_bilinear_with_grad(img: jax.Array, x: jax.Array, y: jax.Array
 def sample_nearest(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
   """Point sampling at corner-convention coords (pixel int(x), int(y))."""
   return gather2d(img, y.astype(jnp.int32), x.astype(jnp.int32))
+
+
+# --- packed bilinear sampling: one gather per sample ---
+#
+# Random gathers run at ~VPU scalar rate on TPU, so the 4 taps of a bilinear
+# sample are 4x the cost they need to be. Intensity images are u8-quantized
+# (rgb_to_intensity floors to u8 steps, exactly like the reference's uchar
+# color texture), so each pixel's full 2x2 forward neighborhood packs into
+# one uint32: [v(y,x) | v(y,x+1)<<8 | v(y+1,x)<<16 | v(y+1,x+1)<<24] with
+# clamp-to-edge replication. One gather then yields all 4 taps.
+
+
+def pack_bilinear_u32(img01: jax.Array) -> jax.Array:
+  """(H, W) float in [0,1] (u8-quantized) -> (H, W) uint32 packed 2x2."""
+  q = jnp.clip(jnp.floor(img01 * 255.0 + 0.5), 0, 255).astype(jnp.uint32)
+  right = jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+  down = jnp.concatenate([q[1:, :], q[-1:, :]], axis=0)
+  down_right = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
+  return q | (right << 8) | (down << 16) | (down_right << 24)
+
+
+def _unpack4(v: jax.Array):
+  scale = jnp.float32(1.0 / 255.0)
+  tl = (v & 0xFF).astype(jnp.float32) * scale
+  tr = ((v >> 8) & 0xFF).astype(jnp.float32) * scale
+  bl = ((v >> 16) & 0xFF).astype(jnp.float32) * scale
+  br = ((v >> 24) & 0xFF).astype(jnp.float32) * scale
+  return tl, tr, bl, br
+
+
+def sample_bilinear_packed_with_grad(packed: jax.Array, x: jax.Array,
+                                     y: jax.Array):
+  """Fused (value, d/dx, d/dy) from a pack_bilinear_u32 image — one gather
+  per sample point (identical math to sample_bilinear_with_grad)."""
+  ix, iy, tx, ty = _lerp_setup(x, y)
+  tl, tr, bl, br = _unpack4(gather2d(packed, iy, ix))
+  top = tl + tx * (tr - tl)
+  bottom = bl + tx * (br - bl)
+  value = top + ty * (bottom - top)
+  dx = (br - bl) * ty + (tr - tl) * (1.0 - ty)
+  dy = (br - tr) * tx + (bl - tl) * (1.0 - tx)
+  return value, dx, dy

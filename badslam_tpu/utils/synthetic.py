@@ -154,7 +154,8 @@ def render_intensity(
   else:
     raise ValueError(kind)
   u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
-  return (u8 / 255.0).astype(np.float32)
+  # u8 * f32(1/255): bit-identical to the packed-sampling unpack path.
+  return u8.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 def intensity_function_image(camera: PinholeCamera, kind: str = "sine"
@@ -172,7 +173,7 @@ def intensity_function_image(camera: PinholeCamera, kind: str = "sine"
   else:
     raise ValueError(kind)
   u8 = np.floor(255.0 * v + 0.5)
-  return (u8 / 255.0).astype(np.float32)
+  return u8.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 def make_synthetic_video(
