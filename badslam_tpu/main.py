@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--export_point_cloud", default=None)
   p.add_argument("--export_calibration", default=None)
   p.add_argument("--export_final_timings", default=None)
+  p.add_argument("--save_timings", default=None,
+                 help="stream per-BA-iteration stats to this file")
   p.add_argument("--export_poses", default=None)
   p.add_argument("--import_calibration", default=None)
   p.add_argument("--save_state", default=None,
@@ -159,6 +161,8 @@ def run(args) -> int:
       print("Using native prefetching data loader")
 
   slam = BadSlam(config, video)
+  if args.save_timings:
+    slam.direct_ba.timings_stream = open(args.save_timings, "w")
   if args.import_calibration:
     state_io.load_calibration(args.import_calibration, slam)
   if args.load_state:
@@ -225,6 +229,9 @@ def run(args) -> int:
     Timing.export_file(args.export_final_timings)
   if args.save_state:
     state_io.save_state(args.save_state, slam)
+  if slam.direct_ba.timings_stream is not None:
+    slam.direct_ba.timings_stream.close()
+    slam.direct_ba.timings_stream = None
   return 0
 
 

@@ -292,6 +292,11 @@ class DirectBA:
     self.baseline_fx = jnp.asarray(config.baseline_fx, jnp.float32)
     self.cell_size = cell
 
+    self._kf_count_host = 0
+    self._surfel_count_cache = (None, 0)
+    # --save_timings stream (direct_ba.h:382): per-BA-iteration stats lines.
+    self.timings_stream = None
+
     self.ba_iteration_count = 0
     self.last_ba_iteration_count = -1
     # Host-side per-slot bookkeeping (mirrors Keyframe::last_active_in_ba_iteration).
@@ -301,14 +306,24 @@ class DirectBA:
     self.surfel_merge_dist_factor = config.surfel_merge_dist_factor
 
   # --- capacity management ---
+  #
+  # Host-side count mirrors: reading a device scalar is a host sync (and the
+  # axon TPU tunnel's first scalar read costs ~2 minutes, later ones ~0.4 s),
+  # so counts are tracked on the host and the surfel count is cached per
+  # store object and only re-read after lifecycle ops change it.
 
   @property
   def keyframe_count(self) -> int:
-    return int(self.kf.count)
+    return self._kf_count_host
 
   @property
   def surfel_count(self) -> int:
-    return int(self.surfels.count)
+    cached_obj, cached_val = self._surfel_count_cache
+    if cached_obj is self.surfels.count:
+      return cached_val
+    val = int(self.surfels.count)
+    self._surfel_count_cache = (self.surfels.count, val)
+    return val
 
   def depth_camera(self) -> PinholeCamera:
     w, h = self.depth_size
@@ -367,6 +382,7 @@ class DirectBA:
         self.kf, depth, normals, radius_sq, intensity,
         jnp.asarray(rgb, jnp.uint8), global_T_frame,
         jnp.asarray(frame_index, jnp.int32), self.depth_intr, w, h)
+    self._kf_count_host += 1
     return idx
 
   def create_surfels_for_keyframe(self, kf_index: int,
@@ -531,6 +547,12 @@ class DirectBA:
         with Timing.time("BA intrinsics optimization"):
           self._optimize_intrinsics(optimize_depth_intrinsics,
                                     optimize_color_intrinsics)
+
+      if self.timings_stream is not None:
+        self.timings_stream.write(
+            f"BA_count {fixed_ba_iteration_count} "
+            f"inner_iteration {iteration} keyframe_count {kcount} "
+            f"surfel_count {self.surfel_count}\n")
 
       # --- CONVERGENCE ---
       if (iteration >= min_iterations - 1 and

@@ -159,6 +159,10 @@ class BadSlam:
       self._ba_thread = threading.Thread(
           target=self._ba_thread_main, name="ba_thread", daemon=True)
       self._ba_thread.start()
+      # Stop the thread cleanly before interpreter teardown — a daemon
+      # thread killed mid-XLA-call aborts the process with a C++ exception.
+      import atexit
+      atexit.register(self.stop_ba_thread_and_wait)
 
   # --- per-frame pipeline ---
 

@@ -37,8 +37,11 @@ def _enable_compile_cache():
 
 def main():
   import jax
-  _enable_compile_cache()
   import jax.numpy as jnp
+  _enable_compile_cache()
+  # Warm up the device->host sync path: the axon TPU tunnel's FIRST scalar
+  # readback costs ~2 minutes; pay it here, before anything is timed.
+  _ = int(jnp.zeros((), jnp.int32))
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.geometry import se3
   from badslam_tpu.models import geometry_opt, pose_opt
