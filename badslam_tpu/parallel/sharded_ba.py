@@ -154,6 +154,146 @@ def make_sharded_ba_iteration(
   return jax.jit(sharded)
 
 
+KF_AXIS = "kf"
+
+
+def make_sharded_ba_iteration_2d(
+    mesh: Mesh,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    cell_size: int,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_pose_iterations: int = 30,
+):
+  """Distributed BA iteration over a 2-D ('kf', 'surfels') mesh — the
+  multi-host layout (SURVEY.md §7.2 stage 8: keyframes across hosts, surfel
+  blocks across chips):
+
+    * keyframe image stacks are SHARDED along the kf axis (each host stores
+      only its keyframes — the dominant memory);
+    * surfels are sharded along the surfel axis;
+    * geometry step: each device scans its local keyframes -> per-surfel
+      3x3 accumulators psum'd over the kf axis (small: 9 floats/surfel),
+      solve local;
+    * pose step: per-local-keyframe H/b from the local surfel shard, psum
+      over the surfel axis only; each kf shard solves and updates its own
+      poses — poses never need to be gathered.
+
+  Returns jitted (surfels, kf, a, cfactor, baseline_fx)
+      -> (surfels', kf', num_converged).
+  """
+  from badslam_tpu.models.keyframes import ACTIVE
+
+  def kf_shard_spec(name):
+    # (K, ...) arrays shard along kf; the scalar count is replicated.
+    return P() if name == "count" else P(KF_AXIS)
+
+  kf_spec = KeyframeStore(**{
+      name: kf_shard_spec(name) for name in KeyframeStore._fields})
+  surfel_spec = _surfel_specs(0)
+
+  def iteration(surfels: SurfelStore, kf: KeyframeStore, a, cfactor,
+                baseline_fx):
+    dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                           cell_size=cell_size)
+
+    # --- geometry step: local scan over the kf shard, psum accumulators ---
+    n = surfels.capacity  # local shard size inside shard_map
+
+    def geo_scan(acc, inputs):
+      depth, normals, intensity, T, valid, activation = inputs
+      kf_active = valid & (activation >= 1)
+      acc = geometry_opt.accumulate_one_keyframe(
+          acc, surfels, depth, normals, intensity, T, kf_active,
+          depth_cam, color_cam, dp,
+          use_depth_residuals, use_descriptor_residuals)
+      return acc, None
+
+    acc, _ = jax.lax.scan(
+        geo_scan, geometry_opt._zero_accum(n),
+        (kf.depth, kf.normals, kf.intensity, kf.global_T_frame, kf.valid,
+         kf.activation))
+    acc = jax.tree.map(lambda x: jax.lax.psum(x, KF_AXIS), acc)
+    surfels = geometry_opt.solve_and_update(surfels, acc)
+
+    # --- pose step: per-local-keyframe GN, psum over the surfel axis ---
+    optimize = kf.valid & (kf.activation != 0)
+
+    def h_b_one(T, depth, normals, intensity):
+      H, b, _, _ = pose_opt.accumulate_pose_h_b(
+          T, surfels, depth, normals, intensity, depth_cam, color_cam, dp,
+          use_depth_residuals, use_descriptor_residuals)
+      return H, b
+
+    h_b_all = jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))
+
+    def cond(state):
+      _, it, done = state
+      any_active = jax.lax.psum(
+          jnp.sum(jnp.logical_not(done).astype(jnp.int32)), KF_AXIS)
+      return (it < max_pose_iterations) & (any_active > 0)
+
+    def body(state):
+      T, it, done = state
+      H, b = h_b_all(T, kf.depth, kf.normals, kf.intensity)
+      H = jax.lax.psum(H, SURFEL_AXIS)
+      b = jax.lax.psum(b, SURFEL_AXIS)
+      x = jax.vmap(pose_opt.solve_6x6)(H, b)
+      x = jnp.where(jnp.all(jnp.isfinite(x), axis=-1, keepdims=True), x,
+                    jnp.zeros_like(x))
+      step = jnp.where(done[:, None], 0.0, x)
+      T_new = T @ se3.exp(-step)
+      return (T_new, it + 1, done | jax.vmap(pose_opt.is_scale1_converged)(x))
+
+    T0 = kf.global_T_frame
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T0, jnp.zeros((), jnp.int32), ~optimize))
+    diff = se3.inverse(T0) @ T
+    moved = optimize & ~jax.vmap(pose_opt.is_scale1_converged)(
+        jax.vmap(se3.log)(diff))
+    activation = jnp.where(optimize, jnp.where(moved, 2, 0), kf.activation)
+    kf = kf._replace(global_T_frame=T, activation=activation)
+    num_converged = jax.lax.psum(
+        jnp.sum((kf.valid & (activation == 0)).astype(jnp.int32)), KF_AXIS)
+    return surfels, kf, num_converged
+
+  sharded = shard_map(
+      iteration, mesh=mesh,
+      in_specs=(surfel_spec, kf_spec, P(), P(), P()),
+      out_specs=(surfel_spec, kf_spec, P()),
+      check_vma=False,
+  )
+  return jax.jit(sharded)
+
+
+def shard_keyframes_2d(kf: KeyframeStore, mesh: Mesh) -> KeyframeStore:
+  """Place the keyframe store with (K, ...) arrays sharded along the kf
+  axis and everything else replicated. Keyframe capacity must divide the kf
+  mesh size."""
+  def place(name, x):
+    if name == "count":
+      return jax.device_put(x, NamedSharding(mesh, P()))
+    spec = [None] * x.ndim
+    spec[0] = KF_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+  return KeyframeStore(**{
+      name: place(name, getattr(kf, name)) for name in KeyframeStore._fields})
+
+
+def shard_surfels_2d(surfels: SurfelStore, mesh: Mesh) -> SurfelStore:
+  """Surfel arrays sharded along the surfel mesh axis, replicated over kf."""
+  def place(name, x):
+    if name == "count" or x.ndim == 0:
+      return jax.device_put(x, NamedSharding(mesh, P()))
+    spec = [None] * x.ndim
+    spec[0] = SURFEL_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+  return SurfelStore(**{
+      name: place(name, getattr(surfels, name))
+      for name in SurfelStore._fields})
+
+
 def make_sharded_pcg_step(
     mesh: Mesh,
     depth_cam: PinholeCamera,

@@ -129,3 +129,46 @@ def test_sharded_pcg_matches_single_device():
                              np.asarray(kf_ref.global_T_frame), atol=2e-4)
   np.testing.assert_allclose(np.asarray(s_out.pos), np.asarray(s_ref.pos),
                              atol=2e-3)
+
+
+def test_sharded_ba_2d_mesh_matches_single_device():
+  """(kf x surfels) 2-D mesh: keyframe stacks sharded over hosts-axis,
+  surfels over chips-axis; must agree with the single-device result."""
+  ba, cam = build_map()
+  # 4 keyframes to divide evenly over a kf axis of 2.
+  depth, _ = synthetic.make_plane_scene(cam, seed=3)
+  inten = synthetic.intensity_function_image(cam)
+  kfim = synthetic.preprocess_like_test_keyframe(depth, cam, intensity=inten,
+                                                 cell=2)
+  noise = jnp.asarray([1e-3, -1e-3, 5e-4, 2e-4, -1e-4, 3e-4], jnp.float32)
+  ba.add_keyframe(kfim.depth, kfim.normals, kfim.radius_sq, kfim.intensity,
+                  kfim.rgb, se3.exp(noise), 30)
+  ba.kf = ba.kf._replace(
+      activation=jnp.where(ba.kf.valid, 2, 0).astype(jnp.int32))
+
+  devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+  mesh = Mesh(devices, (sharded_ba.KF_AXIS, sharded_ba.SURFEL_AXIS))
+  step = sharded_ba.make_sharded_ba_iteration_2d(
+      mesh, cam, cam, cell_size=ba.cell_size, max_pose_iterations=10)
+
+  surfels = sharded_ba.shard_surfels_2d(ba.surfels, mesh)
+  kf = sharded_ba.shard_keyframes_2d(ba.kf, mesh)
+  s_out, kf_out, nconv = step(surfels, kf, ba.a, ba.cfactor, ba.baseline_fx)
+  jax.block_until_ready(s_out)
+
+  from badslam_tpu.models import geometry_opt, pose_opt
+  from badslam_tpu.models.association import DepthParamsArrays
+  dp = DepthParamsArrays(a=ba.a, cfactor=ba.cfactor,
+                         baseline_fx=ba.baseline_fx, cell_size=ba.cell_size)
+  s_ref = geometry_opt.optimize_geometry_iteration(
+      ba.surfels, ba.kf, cam, cam, dp, True, True)
+  optimize = ba.kf.valid & (ba.kf.activation != 0)
+  T_ref, _ = pose_opt.estimate_frame_poses_batched(
+      ba.kf.global_T_frame, optimize, s_ref,
+      ba.kf.depth, ba.kf.normals, ba.kf.intensity, cam, cam, dp, True, True,
+      max_iterations=10)
+
+  np.testing.assert_allclose(np.asarray(s_out.pos), np.asarray(s_ref.pos),
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(kf_out.global_T_frame),
+                             np.asarray(T_ref), atol=2e-4)
