@@ -171,6 +171,37 @@ def interpolate_pose(timestamp: float, ts: np.ndarray, poses: np.ndarray
       jnp.asarray(poses[i]), jnp.asarray(poses[i + 1]), float(factor)))
 
 
+def _read_file_list(path: str):
+  entries = []
+  with open(path) as f:
+    for line in f:
+      line = line.strip()
+      if not line or line.startswith("#"):
+        continue
+      parts = line.split()
+      entries.append((float(parts[0]), parts[0], parts[1]))
+  return entries
+
+
+def _associate_rgb_depth(dataset_dir: str, max_diff: float = 0.02):
+  """associate.py equivalent: greedy nearest-timestamp matching of rgb.txt
+  and depth.txt entries."""
+  rgb = _read_file_list(os.path.join(dataset_dir, "rgb.txt"))
+  depth = _read_file_list(os.path.join(dataset_dir, "depth.txt"))
+  if not rgb or not depth:
+    raise FileNotFoundError(
+        f"{dataset_dir}: neither associated.txt nor rgb.txt/depth.txt found")
+  dts = np.asarray([d[0] for d in depth])
+  used = set()
+  lines = []
+  for t, ts_str, rgb_file in rgb:
+    j = int(np.argmin(np.abs(dts - t)))
+    if abs(dts[j] - t) <= max_diff and j not in used:
+      used.add(j)
+      lines.append(f"{ts_str} {rgb_file} {depth[j][1]} {depth[j][2]}")
+  return lines
+
+
 def load_tum_dataset(
     dataset_dir: str,
     trajectory_filename: Optional[str] = None,
@@ -189,8 +220,15 @@ def load_tum_dataset(
 
   frames: List[Frame] = []
   assoc_path = os.path.join(dataset_dir, "associated.txt")
-  with open(assoc_path) as f:
-    for line in f:
+  if not os.path.exists(assoc_path):
+    # Raw TUM/ETH3D download without associate.py having been run: build the
+    # association from rgb.txt + depth.txt ourselves (nearest timestamps
+    # within 0.02 s — the benchmark tool's default).
+    assoc_lines = _associate_rgb_depth(dataset_dir)
+  else:
+    with open(assoc_path) as f:
+      assoc_lines = [l.strip() for l in f]
+  for line in assoc_lines:
       line = line.strip()
       if not line or line.startswith("#"):
         continue

@@ -231,6 +231,40 @@ def compute_min_max_depth(depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
   return min_d, max_d
 
 
+def downscale_depth_median_excluding_invalid(depth: jax.Array,
+                                             levels: int = 1) -> jax.Array:
+  """Half-resolution depth downscale taking the median of the VALID samples
+  in each 2x2 block (libvis Image::DownscaleUsingMedianWhileExcluding(0),
+  used by the --pyramid_level_for_depth input path, bad_slam.cc:668-673).
+  For 2 valid samples the lower one is returned (libvis takes element
+  count/2 of the sorted run)."""
+  for _ in range(levels):
+    h2, w2 = depth.shape[0] // 2, depth.shape[1] // 2
+    d = depth[: 2 * h2, : 2 * w2]
+    q = jnp.stack([d[0::2, 0::2], d[0::2, 1::2], d[1::2, 0::2],
+                   d[1::2, 1::2]], axis=0)          # (4, h2, w2)
+    valid = q > 0.0
+    n = valid.sum(axis=0)
+    big = jnp.where(valid, q, jnp.inf)
+    srt = jnp.sort(big, axis=0)
+    idx = jnp.where(n > 0, (n - 1) // 2, 0)
+    med = jnp.take_along_axis(srt, idx[None], axis=0)[0]
+    depth = jnp.where(n > 0, med, 0.0)
+  return depth
+
+
+def downscale_rgb(rgb: jax.Array, levels: int = 1) -> jax.Array:
+  """Half-resolution RGB by 2x2 averaging (ImagePyramid for
+  --pyramid_level_for_color)."""
+  out = rgb.astype(jnp.float32)
+  for _ in range(levels):
+    h2, w2 = out.shape[0] // 2, out.shape[1] // 2
+    d = out[: 2 * h2, : 2 * w2]
+    out = 0.25 * (d[0::2, 0::2] + d[0::2, 1::2] + d[1::2, 0::2]
+                  + d[1::2, 1::2])
+  return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
 def median_filter_and_densify(depth: jax.Array, iterations: int) -> jax.Array:
   """Optional CPU-side median filter + densification pass
   (preprocessing.cc:40-85): each iteration replaces every pixel by the median

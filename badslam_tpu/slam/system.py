@@ -118,11 +118,16 @@ class BadSlam:
                loop_detector=None):
     self.config = config
     self.rgbd_video = rgbd_video
-    self.direct_ba = DirectBA(
-        config, rgbd_video.depth_camera, rgbd_video.color_camera)
+    # Pyramid-level input scaling (main.cc:540-552): cameras and images are
+    # downscaled by 2^level before anything else sees them.
+    depth_cam = rgbd_video.depth_camera.scaled(
+        0.5 ** config.pyramid_level_for_depth)
+    color_cam = rgbd_video.color_camera.scaled(
+        0.5 ** config.pyramid_level_for_color)
+    self.direct_ba = DirectBA(config, depth_cam, color_cam)
     if loop_detector is None and config.enable_loop_detection:
       from badslam_tpu.loop.detector import LoopDetector
-      loop_detector = LoopDetector(config, rgbd_video.color_camera)
+      loop_detector = LoopDetector(config, color_cam)
     self.loop_detector = loop_detector
 
     # Base-keyframe state (bad_slam.h:330+): index into the keyframe store,
@@ -220,6 +225,12 @@ class BadSlam:
       raw = np.asarray(depth_proc.median_filter_and_densify(
           jnp.asarray(raw), cfg.median_filter_and_densify_iterations))
     rgb = video.frames[frame_index].rgb()
+    if cfg.pyramid_level_for_depth > 0:
+      raw = depth_proc.downscale_depth_median_excluding_invalid(
+          jnp.asarray(raw), cfg.pyramid_level_for_depth)
+    if cfg.pyramid_level_for_color > 0:
+      rgb = depth_proc.downscale_rgb(jnp.asarray(rgb),
+                                     cfg.pyramid_level_for_color)
     ba = self.direct_ba
     w, h = ba.depth_size
     return _preprocess_jit(

@@ -170,3 +170,52 @@ def test_calibration_roundtrip(tmp_path):
   np.testing.assert_allclose(np.asarray(slam2.direct_ba.depth_intr),
                              [61.0, 59.5, 80.2, 60.1], atol=1e-4)
   assert float(slam2.direct_ba.a) == pytest.approx(0.01, abs=1e-6)
+
+
+def test_auto_association_from_rgb_depth_txt(tmp_path):
+  """Raw TUM layout (rgb.txt + depth.txt, no associated.txt) is associated
+  automatically (associate.py equivalent)."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.eye(4, dtype=np.float32) for _ in range(3)]
+  _write_tum_dataset(str(tmp_path), cam, traj, normals)
+  # Convert to raw layout: drop associated.txt, write rgb.txt/depth.txt with
+  # slightly offset timestamps (within the 0.02 s window).
+  lines = open(tmp_path / "associated.txt").read().splitlines()
+  os.remove(tmp_path / "associated.txt")
+  with open(tmp_path / "rgb.txt", "w") as fr, \
+       open(tmp_path / "depth.txt", "w") as fd:
+    fr.write("# color images\n")
+    fd.write("# depth maps\n")
+    for ln in lines:
+      rgb_ts, rgb_f, depth_ts, depth_f = ln.split()
+      fr.write(f"{rgb_ts} {rgb_f}\n")
+      fd.write(f"{float(depth_ts) + 0.01:.6f} {depth_f}\n")
+  video = dataset_io.load_tum_dataset(str(tmp_path))
+  assert video.frame_count() == 3
+  assert video.depth_metric(0).shape == (H, W)
+
+
+def test_pyramid_level_input_scaling(tmp_path):
+  """--pyramid_level_for_depth/color downscale inputs and cameras by 2^level
+  (main.cc:540-552)."""
+  from badslam_tpu.slam.system import BadSlam
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.eye(4, dtype=np.float32) for _ in range(2)]
+  video = synthetic.make_synthetic_video(cam, traj, normals)
+  cfg = BadSlamConfig(
+      pyramid_level_for_depth=1, pyramid_level_for_color=1,
+      keyframe_interval=2, num_scales=2, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1, enable_loop_detection=False,
+      parallel_ba=False,
+      initial_keyframe_capacity=2, initial_surfel_capacity=1 << 12)
+  slam = BadSlam(cfg, video)
+  assert slam.direct_ba.depth_size == (W // 2, H // 2)
+  slam.process_frame(0)
+  assert slam.direct_ba.keyframe_count == 1
+  assert slam.direct_ba.kf.depth.shape[1:] == (H // 2, W // 2)
+  assert slam.direct_ba.surfel_count > 50
