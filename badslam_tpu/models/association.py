@@ -97,7 +97,10 @@ def associate_surfels(
   px = jnp.clip(pxy[..., 0].astype(jnp.int32), 0, depth_cam.width - 1)
   py = jnp.clip(pxy[..., 1].astype(jnp.int32), 0, depth_cam.height - 1)
 
-  measured = gather_image(kf_depth, py, px)
+  # Combined depth+normal gather: one (H, W, 3) row gather instead of two.
+  combo = jnp.concatenate([kf_depth[..., None], kf_normals], axis=-1)
+  g = gather_image(combo, py, px)
+  measured = g[..., 0]
   depth_ok = measured > 0.0
 
   cfac = gather_image(dp.cfactor, py // dp.cell_size, px // dp.cell_size)
@@ -119,7 +122,7 @@ def associate_surfels(
   facing = jnp.sum(local_pos * local_normal, axis=-1) <= 0.0
 
   # Normal compatibility with the measurement.
-  pixel_normal = normals_3d(gather_image(kf_normals, py, px))
+  pixel_normal = normals_3d(g[..., 1:3])
   compat = (
       jnp.sum(local_normal * pixel_normal, axis=-1)
       >= COS_NORMAL_COMPATIBILITY_THRESHOLD

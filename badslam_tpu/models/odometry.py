@@ -102,7 +102,12 @@ def _frame_to_frame_terms(
   px = jnp.clip(pxy[:, 0].astype(jnp.int32), 0, w - 1)
   py = jnp.clip(pxy[:, 1].astype(jnp.int32), 0, h - 1)
 
-  frame_depth = interp.gather_image(tracked.depth, py, px)
+  # One combined gather for tracked depth + normals (channel-concat rows
+  # cost the same as a single-channel gather on TPU).
+  tracked_combo = jnp.concatenate(
+      [tracked.depth[..., None], tracked.normals], axis=-1)
+  g_combo = interp.gather_image(tracked_combo, py, px)
+  frame_depth = g_combo[..., 0]
   fd_ok = frame_depth > 0.0
 
   # Association test with the base pixel as the implicit surfel
@@ -115,7 +120,7 @@ def _frame_to_frame_terms(
   thresh = (threshold_factor * DEPTH_TUKEY_PARAMETER) / inv_stddev
   band_ok = jnp.abs(local[:, 2] - frame_depth) <= thresh
   facing = jnp.sum(local * local_n, axis=-1) <= 0.0
-  tracked_n = normals_3d(interp.gather_image(tracked.normals, py, px))
+  tracked_n = normals_3d(g_combo[..., 1:3])
   compat = jnp.sum(local_n * tracked_n, axis=-1) >= COS_NORMAL_COMPATIBILITY_THRESHOLD
   mask = d_ok & in_img & fd_ok & band_ok & facing & compat
 
