@@ -46,6 +46,10 @@ class BadSlamConfig:
   num_scales: int = 5
   use_motion_model: bool = True
   keyframe_interval: int = 10
+  # Convergence threshold of the multi-scale odometry GN
+  # (convergence_analysis.h:56-63; the reference's 1e-8 was tuned for
+  # 640x480 — tighten at lower resolutions to avoid plateau stalls).
+  odometry_convergence_threshold: float = 1e-8
 
   # --- Bundle adjustment (bad_slam_config.h:185-245) ---
   max_num_ba_iterations_per_keyframe: int = 10

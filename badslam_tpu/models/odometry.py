@@ -47,13 +47,17 @@ from badslam_tpu.ops import interp
 from badslam_tpu.ops.depth_proc import normals_3d
 from badslam_tpu.ops.pyramid import FramePyramidLevel, build_pyramid
 
-# convergence_analysis.h:56-63
+# convergence_analysis.h:56-63. The reference's constant was tuned for
+# 640x480 cameras via its convergence-analysis mode; at lower resolutions
+# the photometric cost plateau produces sub-threshold steps far from the
+# optimum, so the threshold is a parameter (default = reference value).
 _SCALE_N_THRESHOLD = 1e-8
 
 
-def is_scale_n_converged(x: jax.Array, scaling_factor: float) -> jax.Array:
+def is_scale_n_converged(x: jax.Array, scaling_factor: float,
+                         threshold: float = _SCALE_N_THRESHOLD) -> jax.Array:
   # rotation_threshold == translation_threshold at scale N -> no rescale.
-  return jnp.sum(x * x) < (scaling_factor * scaling_factor) * _SCALE_N_THRESHOLD
+  return jnp.sum(x * x) < (scaling_factor * scaling_factor) * threshold
 
 
 class FrameToFrameResiduals(NamedTuple):
@@ -235,6 +239,7 @@ def track_frame_pairwise(
     use_descriptor_residuals: bool = True,
     use_pyramid_level_0: bool = False,
     max_iterations_per_scale: int = 30,
+    convergence_threshold: float = _SCALE_N_THRESHOLD,
 ) -> jax.Array:
   """Full coarse-to-fine tracking; returns base_T_frame.
 
@@ -294,7 +299,8 @@ def track_frame_pairwise(
       x = solve_6x6(H, b)
       x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
       T_new = T @ se3.exp(-damping * x)
-      return (T_new, it + 1, is_scale_n_converged(x, scaling_factor))
+      return (T_new, it + 1,
+              is_scale_n_converged(x, scaling_factor, convergence_threshold))
 
     estimate, _, _ = jax.lax.while_loop(
         cond, body, (estimate, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))

@@ -79,7 +79,7 @@ def _preprocess_jit(
     jax.jit,
     static_argnames=("width", "height", "cell_size", "num_scales",
                      "use_depth_residuals", "use_descriptor_residuals",
-                     "use_pyramid_level_0"))
+                     "use_pyramid_level_0", "convergence_threshold"))
 def _odometry_jit(
     base_depth, base_normals, base_intensity,
     tracked_raw_depth, tracked_normals, tracked_intensity,
@@ -88,6 +88,7 @@ def _odometry_jit(
     width: int, height: int, cell_size: int, num_scales: int,
     use_depth_residuals: bool, use_descriptor_residuals: bool,
     use_pyramid_level_0: bool,
+    convergence_threshold: float = 1e-8,
 ):
   """RunOdometry compute core (bad_slam.cc:827-951): calibrate both depth
   images, build pyramids, run coarse-to-fine pairwise tracking."""
@@ -108,6 +109,7 @@ def _odometry_jit(
       use_depth_residuals=use_depth_residuals,
       use_descriptor_residuals=use_descriptor_residuals,
       use_pyramid_level_0=use_pyramid_level_0,
+      convergence_threshold=convergence_threshold,
   )
 
 
@@ -258,7 +260,15 @@ class BadSlam:
     else:
       est1 = hist[n - 1]
       est2 = est1
-    return est1, est2
+    # Divergence guard (the reference surfaces this as a debug prompt,
+    # pairwise_frame_tracking.cc:649-669): a non-finite or absurd prediction
+    # must not poison tracking — fall back to the last relative pose.
+    def sane(e):
+      if not np.isfinite(e).all() or np.linalg.norm(e[:3, 3]) > 10.0:
+        return hist[n - 1] if np.isfinite(hist[n - 1]).all() else \
+            np.eye(4, dtype=np.float32)
+      return e
+    return sane(est1), sane(est2)
 
   def run_odometry(self, frame_index: int, processed: ProcessedFrame):
     """RunOdometry (bad_slam.cc:827-951)."""
@@ -275,8 +285,14 @@ class BadSlam:
         jnp.asarray(est1), jnp.asarray(est2),
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
-        True)
+        True, cfg.odometry_convergence_threshold)
     base_T_frame = np.asarray(base_T_frame)
+    if not np.isfinite(base_T_frame).all():
+      # Tracking diverged (reference: divergence debug prompt). Keep the
+      # motion-model prediction instead of propagating NaNs.
+      print(f"WARNING: odometry diverged at frame {frame_index}; "
+            "falling back to the motion-model prediction")
+      base_T_frame = est1
 
     with self._ba_lock:
       new_global_T_frame = self.base_kf_global_T_frame @ base_T_frame
@@ -541,7 +557,7 @@ class BadSlam:
         init, init,
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
-        True)
+        True, cfg.odometry_convergence_threshold)
     return np.asarray(out)
 
   # --- trajectory access ---

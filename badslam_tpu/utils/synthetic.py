@@ -176,6 +176,118 @@ def intensity_function_image(camera: PinholeCamera, kind: str = "sine"
   return u8.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
+def _value_noise_2d(x: np.ndarray, y: np.ndarray, cell: float,
+                    seed: int) -> np.ndarray:
+  """Smooth value noise in [0,1]: hash lattice + bilinear interpolation —
+  world-anchored, dense, non-repeating (the analytic analog of the
+  reference test's random per-vertex colors)."""
+  xi = np.floor(x / cell).astype(np.int64)
+  yi = np.floor(y / cell).astype(np.int64)
+  tx = (x / cell - xi).astype(np.float32)
+  ty = (y / cell - yi).astype(np.float32)
+
+  def h(ix, iy):
+    v = (ix * 374761393 + iy * 668265263 + seed * 144665) & 0x7FFFFFFF
+    v = (v ^ (v >> 13)) * 1274126177 & 0x7FFFFFFF
+    return ((v ^ (v >> 16)) & 0xFFFF).astype(np.float32) / 65535.0
+
+  v00 = h(xi, yi)
+  v10 = h(xi + 1, yi)
+  v01 = h(xi, yi + 1)
+  v11 = h(xi + 1, yi + 1)
+  top = v00 + tx * (v10 - v00)
+  bot = v01 + tx * (v11 - v01)
+  return top + ty * (bot - top)
+
+
+def heightmap_z(x: np.ndarray, y: np.ndarray, z_distance: float = 1.0,
+                z_variation: float = 0.05, seed: int = 5) -> np.ndarray:
+  """Smooth random surface z(x, y) — the analytic analog of the reference
+  pairwise-tracking test's heightmap (kHeightmapZDistance 1.0, ZVariation
+  0.05, test_pairwise_frame_tracking.cc:292-320)."""
+  v = (_value_noise_2d(x, y, 0.35, seed)
+       + 0.5 * _value_noise_2d(x, y, 0.11, seed + 1))
+  return z_distance + z_variation * (2.0 * v / 1.5 - 1.0)
+
+
+def render_heightmap(
+    camera: PinholeCamera,
+    global_T_frame: np.ndarray,
+    z_distance: float = 1.0,
+    z_variation: float = 0.05,
+    seed: int = 5,
+    texture_cell: float = 0.02,
+    border: int = 2,
+    raw_to_float_depth: float = 1.0 / 5000.0,
+):
+  """(depth, intensity) of the heightmap surface from an arbitrary pose, by
+  fixed-point ray casting (low slopes -> fast convergence). The intensity is
+  dense value noise at ~2 cm world scale — strong gradients everywhere."""
+  w, h = camera.width, camera.height
+  R = global_T_frame[:3, :3].astype(np.float64)
+  o = global_T_frame[:3, 3].astype(np.float64)
+  xs = np.arange(w, dtype=np.float64)
+  ys = np.arange(h, dtype=np.float64)
+  nx = (xs - (float(camera.cx) - 0.5)) / float(camera.fx)
+  ny = (ys - (float(camera.cy) - 0.5)) / float(camera.fy)
+  dx, dy = np.meshgrid(nx, ny)
+  dirs = np.stack([dx, dy, np.ones_like(dx)], axis=-1) @ R.T  # world dirs
+
+  dz = dirs[..., 2]
+  ok = dz > 1e-6
+  dz_safe = np.where(ok, dz, 1.0)
+  t = (z_distance - o[2]) / dz_safe
+  for _ in range(16):
+    px = o[0] + t * dirs[..., 0]
+    py = o[1] + t * dirs[..., 1]
+    zs = heightmap_z(px, py, z_distance, z_variation, seed)
+    t = (zs - o[2]) / dz_safe
+  depth = np.where(ok & (t > 0.05), t * 1.0, 0.0)
+  # camera-frame z == t since local dir z = 1 before rotation
+  depth = np.floor(depth / raw_to_float_depth + 0.5) * raw_to_float_depth
+  mask = np.zeros((h, w), bool)
+  mask[border:h - border, border:w - border] = True
+  depth = np.where(mask, depth, 0.0).astype(np.float32)
+
+  px = o[0] + t * dirs[..., 0]
+  py = o[1] + t * dirs[..., 1]
+  v = (0.2 + 0.6 * _value_noise_2d(px, py, texture_cell, seed + 7)
+       + 0.2 * _value_noise_2d(px, py, texture_cell * 4.7, seed + 8)) / 1.2
+  u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
+  intensity = u8.astype(np.float32) * np.float32(1.0 / 255.0)
+  return depth, intensity
+
+
+def make_heightmap_video(
+    camera: PinholeCamera,
+    trajectory: "list[np.ndarray]",
+    z_distance: float = 1.0,
+    z_variation: float = 0.05,
+    seed: int = 5,
+    raw_to_float_depth: float = 1.0 / 5000.0,
+    fps: float = 30.0,
+):
+  """In-memory RGBDVideo of the heightmap world (well-conditioned for
+  tracking: dense texture, varied normals)."""
+  from badslam_tpu.io.dataset import Frame, RGBDVideo
+
+  frames = []
+  for i, T in enumerate(trajectory):
+    depth, inten = render_heightmap(
+        camera, T, z_distance, z_variation, seed,
+        raw_to_float_depth=raw_to_float_depth)
+    u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    rgb = np.stack([u8, u8, u8], axis=-1)
+    raw_u16 = np.floor(depth / raw_to_float_depth + 0.5).astype(np.uint16)
+    f = Frame(rgb_path="", depth_path="", rgb_timestamp=i / fps,
+              depth_timestamp=i / fps)
+    f._rgb = rgb
+    f._depth = raw_u16
+    frames.append(f)
+  return RGBDVideo(frames=frames, color_camera=camera, depth_camera=camera,
+                   raw_to_float_depth=raw_to_float_depth)
+
+
 def make_synthetic_video(
     camera: PinholeCamera,
     trajectory: "list[np.ndarray]",   # per-frame global_T_frame (4,4)

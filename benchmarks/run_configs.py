@@ -1,0 +1,226 @@
+"""BASELINE.md measurement configs on synthetic data.
+
+Runs the five measurement configurations from BASELINE.md / BASELINE.json on
+the synthetic plane world (no external datasets are reachable from this
+environment) and writes one JSON report:
+
+  (0) odometry-only trajectory, ATE RMSE
+  (1) BA over a keyframe set, single chip: pose recovery + keyframes/s
+  (2) full pipeline with loop closure on a drifted revisit
+  (3) self-calibration: intrinsics recovery error
+  (4) multi-device BA: virtual-mesh parity check
+
+Usage:  python benchmarks/run_configs.py [--out report.json] [--size WxH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _world(seed=7, n=3):
+  rng = np.random.default_rng(seed)
+  out = []
+  for _ in range(n):
+    v = rng.uniform(-1, 1, 3).astype(np.float32)
+    v[2] = -1.0
+    out.append(v / np.linalg.norm(v))
+  return np.asarray(out)
+
+
+def config0_odometry(width, height):
+  """Odometry-only ATE on a 30-frame synthetic trajectory."""
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(width, height)
+  # Heightmap world: the analytic analog of the reference pairwise-tracking
+  # test scene (dense random texture, varied normals).
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.002 * i, 0.0008 * i, -0.0005 * i, 0.0005 * i, -0.00025 * i,
+       0.0004 * i], jnp.float32))) for i in range(30)]
+  video = synthetic.make_heightmap_video(cam, traj)
+  cfg = BadSlamConfig(
+      # Odometry-only = keyframes still advance (the tracker needs a nearby
+      # base keyframe) but zero BA iterations are planned.
+      keyframe_interval=5, max_num_ba_iterations_per_keyframe=0,
+      odometry_convergence_threshold=1e-11,  # 160x120 (reference tuned 640x480)
+      num_scales=4, max_depth=5.0, sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1, min_observation_count=1,
+      enable_loop_detection=False, parallel_ba=False,
+      initial_keyframe_capacity=2, initial_surfel_capacity=1 << 14)
+  slam = BadSlam(cfg, video)
+  t0 = time.perf_counter()
+  slam.process_frame(0, force_keyframe=True)
+  for i in range(1, 30):
+    slam.process_frame(i)
+  elapsed = time.perf_counter() - t0
+  est = np.stack([f.global_T_frame[:3, 3] for f in video.frames])
+  gt = np.stack([t[:3, 3] for t in traj])
+  from badslam_tpu.eval import ate_rmse
+  rmse, _ = ate_rmse(est, gt)
+  return {"ate_rmse_m": rmse, "frames_per_s": 30 / elapsed}
+
+
+def config1_ba(width, height):
+  """Single-chip BA: perturbed keyframes pulled back; keyframes/s."""
+  import jax
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.slam.direct_ba import DirectBA
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(width, height)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1, min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14)
+  ba = DirectBA(cfg, cam, cam)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3)
+  inten = synthetic.intensity_function_image(cam)
+  kf = synthetic.preprocess_like_test_keyframe(depth, cam, intensity=inten,
+                                               cell=2)
+  rng = np.random.default_rng(0)
+  T_gt = jnp.eye(4, dtype=jnp.float32)
+  for i in range(6):
+    noise = jnp.asarray(np.concatenate(
+        [rng.uniform(-3e-3, 3e-3, 3), rng.uniform(-8e-4, 8e-4, 3)]),
+        jnp.float32)
+    T = T_gt if i == 0 else T_gt @ se3.exp(noise)
+    ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                    T, i * 10)
+  t0 = time.perf_counter()
+  iters, converged = ba.bundle_adjustment(max_iterations=10)
+  jax.block_until_ready(ba.kf.global_T_frame)
+  elapsed = time.perf_counter() - t0
+  errs = [float(np.abs(np.asarray(se3.log(
+      se3.inverse(ba.kf.global_T_frame[i]) @ T_gt))).max()) for i in range(6)]
+  return {"iterations": iters, "converged": bool(converged),
+          "max_pose_err": max(errs) - min(errs),  # relative (gauge-free)
+          "keyframes_per_s": 6 * iters / elapsed}
+
+
+def config2_full_pipeline(width, height):
+  """Full pipeline + loop closure on a drifted revisit (see
+  tests/test_loop_closure.py for the controlled version)."""
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.loop.detector import LoopDetector
+  from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(width, height)
+  normals = _world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0.001 * i, 0, 0.0008 * i, 0, 0], jnp.float32)))
+      for i in range(10)]
+  traj.append(traj[0].copy())
+  video = synthetic.make_synthetic_video(cam, traj, normals,
+                                         texture_kind="checker")
+  cfg = BadSlamConfig(
+      keyframe_interval=2, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1, min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      parallel_ba=False)
+  det = LoopDetector(cfg, cam, recent_exclude=2)
+  slam = BadSlam(cfg, video, loop_detector=det)
+  for i in range(10):
+    slam.process_frame(i)
+  poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
+  for s_, d in ((3, 0.06), (4, 0.08)):
+    poses[s_][0, 3] += d
+  slam.direct_ba.kf = slam.direct_ba.kf._replace(
+      global_T_frame=jnp.asarray(poses))
+  slam.base_kf_global_T_frame = poses[4]
+  slam.process_frame(10, force_keyframe=True)
+  ev = det.events[-1] if det.events else None
+  err = float(np.linalg.norm(
+      video.frames[10].global_T_frame[:3, 3] - traj[10][:3, 3]))
+  return {"loop_closed": bool(ev and ev.applied),
+          "inliers": ev.inlier_count if ev else 0,
+          "drift_m": 0.08, "residual_error_m": err}
+
+
+def config3_self_calibration(width, height):
+  """Intrinsics recovery from a perturbed camera."""
+  import jax.numpy as jnp
+  from badslam_tpu.models import intrinsics_opt
+  sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "tests"))
+  from test_intrinsics_opt import build_multi_view_map
+
+  ba, cam = build_multi_view_map()
+  true_intr = np.asarray(ba.depth_intr)
+  depth_intr = jnp.asarray(true_intr + np.asarray([0.4, -0.3, 0.25, -0.2],
+                                                  np.float32))
+  a, cfactor = ba.a, ba.cfactor
+  for _ in range(60):
+    depth_intr, _, a, cfactor = intrinsics_opt.optimize_intrinsics(
+        ba.surfels, ba.kf, depth_intr, ba.color_intr, a, cfactor,
+        ba.baseline_fx, ba.depth_size, ba.color_size, ba.cell_size,
+        True, False)
+  err = np.abs(np.asarray(depth_intr) - true_intr)
+  return {"initial_perturbation_px": 0.4,
+          "max_residual_err_px": float(err.max()),
+          "a_abs": abs(float(a))}
+
+
+def config4_multichip():
+  """Virtual-mesh distributed BA parity (the driver separately dry-runs the
+  sharded step on N devices)."""
+  import jax
+  n = len(jax.devices())
+  if n < 2:
+    return {"skipped": f"only {n} device(s)"}
+  import __graft_entry__ as ge
+  ge.dryrun_multichip(min(n, 8))
+  return {"devices": min(n, 8), "dryrun": "ok"}
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--out", default=None)
+  p.add_argument("--size", default="160x120")
+  args = p.parse_args()
+  w, h = (int(v) for v in args.size.split("x"))
+
+  report = {}
+  for name, fn in [("config0_odometry", lambda: config0_odometry(w, h)),
+                   ("config1_ba", lambda: config1_ba(w, h)),
+                   ("config2_full_pipeline",
+                    lambda: config2_full_pipeline(w, h)),
+                   ("config3_self_calibration",
+                    lambda: config3_self_calibration(w, h)),
+                   ("config4_multichip", config4_multichip)]:
+    t0 = time.perf_counter()
+    try:
+      report[name] = fn()
+      report[name]["wall_s"] = round(time.perf_counter() - t0, 2)
+    except Exception as e:  # keep the report going
+      report[name] = {"error": f"{type(e).__name__}: {e}"}
+    print(f"{name}: {json.dumps(report[name])}", flush=True)
+
+  if args.out:
+    with open(args.out, "w") as f:
+      json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+  main()
