@@ -461,12 +461,13 @@ class DirectBA:
       keyframes_with_new_surfels: List[int] = []
       if optimize_geometry and do_surfel_updates:
         with Timing.time("BA surfel creation"):
-          activation_np = np.asarray(self.kf.activation)
-          valid_np = np.asarray(self.kf.valid)
+          # One fused device->host read: activation with -1 for invalid slots.
+          act_valid = np.asarray(
+              jnp.where(self.kf.valid, self.kf.activation, -1))
           for i in range(kcount):
-            if not valid_np[i]:
+            if act_valid[i] < 0:
               continue
-            if (activation_np[i] == ACTIVE and
+            if (act_valid[i] == ACTIVE and
                 self.last_active_in_ba_iteration[i] != fixed_ba_iteration_count):
               self.last_active_in_ba_iteration[i] = fixed_ba_iteration_count
               keyframes_with_new_surfels.append(i)
@@ -537,10 +538,8 @@ class DirectBA:
               w, h, cw, ch, self.cell_size,
               self.use_depth_residuals, self.use_descriptor_residuals,
               max_inner_pose_iterations)
-          # number of *valid* converged keyframes
-          inactive = np.asarray(
-              self.kf.valid & (self.kf.activation == INACTIVE))
-          num_converged = int(inactive.sum())
+          # One scalar read (the jitted phase already computed the count).
+          num_converged = int(num_converged_dev)
 
       # --- INTRINSICS OPTIMIZATION ---
       if optimize_depth_intrinsics or optimize_color_intrinsics:
