@@ -114,10 +114,15 @@ class PinholeCamera(NamedTuple):
 
   def scaled(self, factor: float) -> "PinholeCamera":
     """Scale the camera for a pyramid level. Corner-convention intrinsics scale
-    as fx*s, cx*s (the corner origin is scale-invariant)."""
+    as fx*s, cx*s (the corner origin is scale-invariant). Shrinking floors
+    the size so the dims match repeated floor-halving pyramid construction
+    (floor(floor(n/2)/2) == floor(n/4)); growing rounds."""
+    import math
+    size = (lambda v: int(math.floor(v * factor))) if factor < 1.0 else (
+        lambda v: int(round(v * factor)))
     return PinholeCamera(
-        width=int(round(self.width * factor)),
-        height=int(round(self.height * factor)),
+        width=size(self.width),
+        height=size(self.height),
         fx=self.fx * factor,
         fy=self.fy * factor,
         cx=self.cx * factor,

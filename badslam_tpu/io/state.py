@@ -29,6 +29,10 @@ MAGIC = "BADSLAM_TPU"
 VERSION = 1
 
 
+def _valid_slots(kf) -> np.ndarray:
+  return np.flatnonzero(np.asarray(kf.valid))
+
+
 def save_state(path: str, slam) -> None:
   """Snapshot the full SLAM state of a BadSlam system to one .npz file."""
   import jax.numpy as jnp
@@ -51,7 +55,9 @@ def save_state(path: str, slam) -> None:
       base_kf_tr_frame=np.stack(slam.base_kf_tr_frame).astype(np.float32)
       if slam.base_kf_tr_frame else np.zeros((0, 4, 4), np.float32),
       base_kf_index=np.asarray(
-          -1 if slam.base_kf_index is None else slam.base_kf_index),
+          -1 if slam.base_kf_index is None
+          else int(np.searchsorted(_valid_slots(ba.kf),
+                                   slam.base_kf_index))),
       base_kf_global_T_frame=slam.base_kf_global_T_frame.astype(np.float32),
       last_frame_index=np.asarray(slam.last_frame_index),
       # Trajectory.
@@ -66,14 +72,17 @@ def save_state(path: str, slam) -> None:
       cfactor=np.asarray(ba.cfactor),
       baseline_fx=np.asarray(ba.baseline_fx),
       cell_size=np.asarray(ba.cell_size),
-      # Keyframe metadata (images are re-created from the dataset on load).
-      kf_global_T_frame=np.asarray(kf.global_T_frame),
-      kf_frame_index=np.asarray(kf.frame_index),
-      kf_valid=np.asarray(kf.valid),
-      kf_activation=np.asarray(kf.activation),
-      kf_covis=np.asarray(kf.covis),
-      keyframe_frame_indices=np.asarray(slam.keyframe_frame_indices,
-                                        np.int64),
+      # Keyframe metadata, COMPACTED to the valid slots (deleted slots are
+      # dropped; covis/activation rows are re-indexed consistently). Images
+      # are re-created from the dataset on load.
+      kf_global_T_frame=np.asarray(kf.global_T_frame)[_valid_slots(kf)],
+      kf_frame_index=np.asarray(kf.frame_index)[_valid_slots(kf)],
+      kf_activation=np.asarray(kf.activation)[_valid_slots(kf)],
+      kf_covis=np.asarray(kf.covis)[
+          np.ix_(_valid_slots(kf), _valid_slots(kf))],
+      keyframe_frame_indices=np.asarray(
+          [slam.keyframe_frame_indices[s] for s in _valid_slots(kf)],
+          np.int64),
       # Surfels: the 8 persistent attributes of valid surfels (io.cc:141-166).
       surfel_pos=np.asarray(s.pos)[valid],
       surfel_normal=np.asarray(s.normal)[valid],
@@ -83,7 +92,8 @@ def save_state(path: str, slam) -> None:
       # BA counters.
       ba_iteration_count=np.asarray(ba.ba_iteration_count),
       num_planned_ba_iterations=np.asarray(slam.num_planned_ba_iterations),
-      last_active_in_ba_iteration=ba.last_active_in_ba_iteration,
+      last_active_in_ba_iteration=(
+          ba.last_active_in_ba_iteration[_valid_slots(kf)]),
   )
 
 
@@ -114,12 +124,12 @@ def load_state(path: str, slam) -> None:
   ba.cfactor = jnp.asarray(data["cfactor"])
   ba.baseline_fx = jnp.asarray(data["baseline_fx"])
 
-  # Keyframes: metadata from snapshot, image data via preprocessing.
+  # Keyframes: metadata from snapshot (already compacted to valid slots),
+  # image data via preprocessing.
   slam.keyframe_frame_indices = [int(v) for v in
                                  data["keyframe_frame_indices"]]
   kf_poses = data["kf_global_T_frame"]
-  kf_valid = data["kf_valid"]
-  n_kf = int(kf_valid.sum())
+  n_kf = int(kf_poses.shape[0])
   for slot in range(n_kf):
     frame_index = int(data["kf_frame_index"][slot])
     processed = slam.preprocess_frame(frame_index)
@@ -171,6 +181,10 @@ def load_state(path: str, slam) -> None:
       np.asarray(_se3.inverse(_jnp.asarray(h))) for h in slam.base_kf_tr_frame]
   bki = int(data["base_kf_index"])
   slam.base_kf_index = None if bki < 0 else bki
+  if slam.base_kf_index is not None and slam.base_kf_index < n_kf:
+    # Restore the odometry base-keyframe image cache from the dataset.
+    slam.base_kf_images = slam.preprocess_frame(
+        slam.keyframe_frame_indices[slam.base_kf_index])
   slam.base_kf_global_T_frame = data["base_kf_global_T_frame"]
   slam.last_frame_index = int(data["last_frame_index"])
   ba.ba_iteration_count = int(data["ba_iteration_count"])

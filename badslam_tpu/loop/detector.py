@@ -195,6 +195,11 @@ class LoopDetector:
   # --- verification + closure (loop_detector.cc:284-705) ---
 
   def _unproject(self, pts: np.ndarray, depths: np.ndarray) -> np.ndarray:
+    # Corner-convention unprojection applied directly to cv keypoint
+    # coordinates — this reproduces the reference EXACTLY, which also feeds
+    # cv::KeyPoint::pt (center-convention) into UnprojectFromPixelCornerConv
+    # (loop_detector.cc:294-296); the half-pixel offset is identical on both
+    # sides of every correspondence, so it cancels in the relative pose.
     cam = self.camera
     nx = (pts[:, 0] - float(cam.cx)) / float(cam.fx)
     ny = (pts[:, 1] - float(cam.cy)) / float(cam.fy)
@@ -305,22 +310,27 @@ class LoopDetector:
     new_poses = optimizer.optimize()
 
     original = remember_keyframe_poses(graph_poses)
-    full = poses.copy()
-    for out_i, slot in enumerate(slot_map):
-      full[slot] = new_poses[out_i]
-    ba.kf = ba.kf._replace(global_T_frame=jnp.asarray(full))
+    # Pose/trajectory application mutates shared SLAM state; the reference
+    # guards this with direct_ba_->Lock() (loop_detector.cc:670-705). Our
+    # callers never hold _ba_lock here (the BA thread releases it around
+    # keyframe registration), so acquiring it is deadlock-free.
+    with slam._ba_lock:
+      full = poses.copy()
+      for out_i, slot in enumerate(slot_map):
+        full[slot] = new_poses[out_i]
+      ba.kf = ba.kf._replace(global_T_frame=jnp.asarray(full))
 
-    # Deform the non-keyframe trajectory.
-    frame_poses = [f.global_T_frame for f in slam.rgbd_video.frames]
-    kf_frame_indices = [slam.keyframe_frame_indices[s] for s in slot_map]
-    for out_i, slot in enumerate(slot_map):
-      frame_poses[slam.keyframe_frame_indices[slot]] = new_poses[out_i]
-    extrapolate_and_interpolate_keyframe_pose_changes(
-        kf_frame_indices, original, new_poses, frame_poses,
-        start_frame=0, end_frame=slam.last_frame_index)
-    for i, p in enumerate(frame_poses):
-      slam.rgbd_video.frames[i].global_T_frame = p
-    if slam.base_kf_index is not None:
-      slam.base_kf_global_T_frame = full[slam.base_kf_index]
+      # Deform the non-keyframe trajectory.
+      frame_poses = [f.global_T_frame for f in slam.rgbd_video.frames]
+      kf_frame_indices = [slam.keyframe_frame_indices[s] for s in slot_map]
+      for out_i, slot in enumerate(slot_map):
+        frame_poses[slam.keyframe_frame_indices[slot]] = new_poses[out_i]
+      extrapolate_and_interpolate_keyframe_pose_changes(
+          kf_frame_indices, original, new_poses, frame_poses,
+          start_frame=0, end_frame=slam.last_frame_index)
+      for i, p in enumerate(frame_poses):
+        slam.rgbd_video.frames[i].global_T_frame = p
+      if slam.base_kf_index is not None:
+        slam.base_kf_global_T_frame = full[slam.base_kf_index]
 
     return ev(True, "closed", n_inliers)

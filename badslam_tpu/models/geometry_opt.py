@@ -28,6 +28,8 @@ from badslam_tpu.models import association, cost
 from badslam_tpu.models.association import DepthParamsArrays
 from badslam_tpu.models.keyframes import ACTIVE, COVISIBLE_ACTIVE, KeyframeStore
 from badslam_tpu.models.surfels import SurfelStore
+from badslam_tpu.ops import interp
+from badslam_tpu.ops.depth_proc import normals_3d
 
 
 class GeometryAccum(NamedTuple):
@@ -216,8 +218,7 @@ def reestimate_normals(
     )
     kf_active = valid & (activation >= COVISIBLE_ACTIVE)
     mask = assoc.mask & kf_active
-    from badslam_tpu.ops.depth_proc import normals_3d
-    pix_n = normals_3d(normals[assoc.py, assoc.px])
+    pix_n = normals_3d(interp.gather_image(normals, assoc.py, assoc.px))
     global_n = se3.rotate(T, pix_n)
     acc_n = acc_n + jnp.where(mask[:, None], global_n, 0.0)
     return acc_n, None

@@ -325,10 +325,11 @@ def merge_surfels_for_keyframe(
     # Heads and merged surfels leave the competition; the rest try again.
     unresolved = unresolved & ~is_head & ~merged
 
+  # NOTE: count (the allocation watermark) is intentionally unchanged —
+  # lowering it would let the next append() overwrite live surfels.
   return surfels._replace(
       valid=alive,
       active=surfels.active & alive,
-      count=jnp.sum(alive).astype(jnp.int32),
   )
 
 
@@ -379,11 +380,11 @@ def delete_surfels_and_update_radii(
   new_radius = surfels.radius_sq
   if update_radii:
     new_radius = jnp.where(alive & jnp.isfinite(min_r), min_r, new_radius)
+  # count (allocation watermark) intentionally unchanged; see merge above.
   return surfels._replace(
       valid=alive,
       active=surfels.active & alive,
       radius_sq=new_radius,
-      count=jnp.sum(alive).astype(jnp.int32),
   )
 
 

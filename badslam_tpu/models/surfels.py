@@ -37,7 +37,11 @@ class SurfelStore(NamedTuple):
   desc: jax.Array        # (N, 2) float32 descriptor (clamped to [-180, 180])
   valid: jax.Array       # (N,) bool
   active: jax.Array      # (N,) bool — geometry optimization working set
-  count: jax.Array       # () int32 — number of live surfels (<= N used slots)
+  # () int32 — ALLOCATION WATERMARK: slots [0, count) have ever been used and
+  # append() writes at count. Deletion/merging clear `valid` bits WITHOUT
+  # lowering count (lowering it would let append overwrite live surfels);
+  # compact() re-packs live surfels and resets count to the live total.
+  count: jax.Array
 
   @property
   def capacity(self) -> int:

@@ -209,8 +209,15 @@ def _pose_optimization_jit(
   activation = jnp.where(
       optimize, jnp.where(moved, ACTIVE, INACTIVE), kf.activation)
   kf = kf._replace(global_T_frame=T, activation=activation)
-  num_converged = jnp.sum((kf.valid & (activation == INACTIVE)).astype(jnp.int32))
-  num_converged = num_converged + jnp.sum((~kf.valid).astype(jnp.int32))
+  # The reference counts deleted (null) keyframes as converged and compares
+  # against keyframes_.size() (direct_ba_alternating.cc:548-551,692-701);
+  # here "size" is the slot watermark kf.count, so invalid slots only count
+  # within it (slots beyond the watermark were never keyframes).
+  in_watermark = jnp.arange(kf.capacity) < kf.count
+  num_converged = jnp.sum(
+      (kf.valid & (activation == INACTIVE)).astype(jnp.int32))
+  num_converged = num_converged + jnp.sum(
+      (~kf.valid & in_watermark).astype(jnp.int32))
   return kf, num_converged
 
 
@@ -294,6 +301,7 @@ class DirectBA:
 
     self._kf_count_host = 0
     self._surfel_count_cache = (None, 0)
+    self._surfel_watermark_cache = (None, 0)
     # --save_timings stream (direct_ba.h:382): per-BA-iteration stats lines.
     self.timings_stream = None
 
@@ -318,11 +326,22 @@ class DirectBA:
 
   @property
   def surfel_count(self) -> int:
+    """Number of LIVE surfels (valid mask), not the allocation watermark."""
     cached_obj, cached_val = self._surfel_count_cache
+    if cached_obj is self.surfels.valid:
+      return cached_val
+    val = int(jnp.sum(self.surfels.valid))
+    self._surfel_count_cache = (self.surfels.valid, val)
+    return val
+
+  @property
+  def surfel_watermark(self) -> int:
+    """Allocation watermark: next append position (>= surfel_count)."""
+    cached_obj, cached_val = self._surfel_watermark_cache
     if cached_obj is self.surfels.count:
       return cached_val
     val = int(self.surfels.count)
-    self._surfel_count_cache = (self.surfels.count, val)
+    self._surfel_watermark_cache = (self.surfels.count, val)
     return val
 
   def depth_camera(self) -> PinholeCamera:
@@ -355,7 +374,8 @@ class DirectBA:
     w, h = self.depth_size
     cell = self.cell_size
     headroom = (h // cell + 1) * (w // cell + 1)
-    while (self.surfel_count + headroom > self.surfels.capacity and
+    # Appends land at the WATERMARK, so headroom must be measured from it.
+    while (self.surfel_watermark + headroom > self.surfels.capacity and
            self.surfels.capacity < self.config.max_surfel_count):
       self.surfels = surfels_mod.grow(
           self.surfels,
@@ -493,9 +513,13 @@ class DirectBA:
       use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
       if use_pcg:
         with Timing.time("BA PCG"):
-          # Gauge: rotate the fixed keyframe deterministically (the reference
-          # randomizes it per iteration, direct_ba_pcg.cc:318-337).
-          gauge = iteration % max(1, kcount)
+          # Gauge: rotate the fixed keyframe deterministically over the VALID
+          # slots (the reference randomizes over live keyframes,
+          # direct_ba_pcg.cc:318-337); a deleted slot would leave the system
+          # gauge-free.
+          valid_np = np.asarray(self.kf.valid)  # one transfer
+          valid_slots = [i for i in range(kcount) if valid_np[i]] or [0]
+          gauge = valid_slots[iteration % len(valid_slots)]
           self.surfels, self.kf, pose_update = _pcg_iteration_jit(
               self.surfels, self.kf, self.depth_intr, self.color_intr,
               self.a, self.cfactor, self.baseline_fx,
@@ -587,6 +611,13 @@ class DirectBA:
           self.baseline_fx,
           jnp.asarray(self.get_min_observation_count(), jnp.int32),
           w, h, self.cell_size, True)
+    # Compaction (CompactSurfelsCUDA in the reference's end tasks,
+    # direct_ba.cc:645): reclaim dead slots when fragmentation is high so
+    # the watermark does not creep toward capacity.
+    if (self.surfel_watermark - self.surfel_count
+        > max(1024, self.surfels.capacity // 4)):
+      with Timing.time("BA surfel compaction"):
+        self.surfels = surfels_mod.compact(self.surfels)
 
   def _optimize_intrinsics(self, optimize_depth: bool, optimize_color: bool):
     """Self-calibration step — implemented in models/intrinsics_opt.py."""

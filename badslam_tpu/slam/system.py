@@ -467,28 +467,9 @@ class BadSlam:
             active_keyframe_window_end=k - 1,
             increase_ba_iteration_count=False)
 
-      with self._ba_lock:
-        # Trajectory deformation + base keyframe pose refresh
-        # (bad_slam.cc:1291-1300).
-        from badslam_tpu.loop.trajectory_deformation import (
-            extrapolate_and_interpolate_keyframe_pose_changes)
-        new_poses = np.asarray(self.direct_ba.kf.global_T_frame)
-        n_kf = len(self.keyframe_frame_indices)
-        if n_kf and self.last_frame_index >= 0:
-          frame_poses = [f.global_T_frame for f in self.rgbd_video.frames]
-          orig_frame_T_global = np.asarray(
-              se3.inverse(jnp.asarray(original[:n_kf])))
-          for slot in range(n_kf):
-            frame_poses[self.keyframe_frame_indices[slot]] = new_poses[slot]
-          extrapolate_and_interpolate_keyframe_pose_changes(
-              self.keyframe_frame_indices, orig_frame_T_global,
-              new_poses[:n_kf], frame_poses,
-              start_frame=self.config.start_frame,
-              end_frame=self.last_frame_index)
-          for i, p in enumerate(frame_poses):
-            self.rgbd_video.frames[i].global_T_frame = p
-        if self.base_kf_index is not None:
-          self.base_kf_global_T_frame = new_poses[self.base_kf_index]
+      # Trajectory deformation + base keyframe pose refresh
+      # (bad_slam.cc:1291-1300).
+      self._apply_trajectory_deformation(original)
 
   def stop_ba_thread_and_wait(self):
     """StopBAThreadAndWaitForIt (bad_slam.h): finish queued work, stop the
@@ -516,6 +497,7 @@ class BadSlam:
     """RunBundleAdjustment, sequential path (bad_slam.cc:481-536)."""
     cfg = self.config
     k = self.direct_ba.keyframe_count
+    original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
     with Timing.time("Bundle adjustment"):
       result = self.direct_ba.bundle_adjustment(
           optimize_depth_intrinsics=optimize_depth_intrinsics,
@@ -529,14 +511,34 @@ class BadSlam:
           active_keyframe_window_end=(k - 1) if cfg.disable_deactivation else -1,
           increase_ba_iteration_count=True,
       )
-    # Refresh the cached base keyframe pose after BA (bad_slam.cc:1291-1300).
-    if self.base_kf_index is not None:
-      self.base_kf_global_T_frame = np.asarray(
-          self.direct_ba.kf.global_T_frame)[self.base_kf_index]
-      self.rgbd_video.frames[
-          self.keyframe_frame_indices[self.base_kf_index]
-      ].global_T_frame = self.base_kf_global_T_frame
+    # Trajectory deformation + base keyframe pose refresh after BA — the
+    # sequential path does this too (bad_slam.cc:524-530).
+    self._apply_trajectory_deformation(original)
     return result
+
+  def _apply_trajectory_deformation(self, original_kf_poses: np.ndarray):
+    """Propagate keyframe pose changes to non-keyframe video frames and
+    refresh the cached base-keyframe pose. Caller must NOT hold _ba_lock."""
+    from badslam_tpu.loop.trajectory_deformation import (
+        extrapolate_and_interpolate_keyframe_pose_changes)
+    with self._ba_lock:
+      new_poses = np.asarray(self.direct_ba.kf.global_T_frame)
+      n_kf = len(self.keyframe_frame_indices)
+      if n_kf and self.last_frame_index >= 0:
+        frame_poses = [f.global_T_frame for f in self.rgbd_video.frames]
+        orig_frame_T_global = np.asarray(
+            se3.inverse(jnp.asarray(original_kf_poses[:n_kf])))
+        for slot in range(n_kf):
+          frame_poses[self.keyframe_frame_indices[slot]] = new_poses[slot]
+        extrapolate_and_interpolate_keyframe_pose_changes(
+            self.keyframe_frame_indices, orig_frame_T_global,
+            new_poses[:n_kf], frame_poses,
+            start_frame=self.config.start_frame,
+            end_frame=self.last_frame_index)
+        for i, p in enumerate(frame_poses):
+          self.rgbd_video.frames[i].global_T_frame = p
+      if self.base_kf_index is not None:
+        self.base_kf_global_T_frame = new_poses[self.base_kf_index]
 
   def track_keyframe_pair(self, base_slot: int, tracked_slot: int,
                           base_T_tracked_init: np.ndarray) -> np.ndarray:

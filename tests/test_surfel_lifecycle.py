@@ -193,3 +193,42 @@ def test_covisibility_and_activation_propagation():
       kf2.depth, kf2.normals, kf2.radius_sq, kf2.intensity, kf2.rgb, T_near, 20)
   covis = np.asarray(ba.kf.covis)
   assert covis[idx0, idx_near] and covis[idx_near, idx0]
+
+
+def test_append_after_delete_does_not_overwrite_live_surfels():
+  """Regression: deletion/merge clear validity WITHOUT lowering the
+  allocation watermark — a later append must land in fresh slots, never on
+  top of surviving surfels (found by review: count was reset to the live
+  total, so creation overwrote live slots)."""
+  from badslam_tpu.models import surfels as surfels_mod
+
+  s = surfels_mod.create(64)
+  rng = np.random.default_rng(0)
+  pos = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+  nrm = jnp.asarray(np.tile([[0, 0, -1.0]], (32, 1)), jnp.float32)
+  s = surfels_mod.append(s, pos, nrm, jnp.ones(32), jnp.zeros((32, 3)),
+                         jnp.zeros((32, 2)), jnp.ones(32, dtype=bool))
+  assert int(s.count) == 32
+
+  # Invalidate every even slot (simulating merge/delete).
+  kill = (jnp.arange(64) % 2 == 0) & s.valid
+  s = s._replace(valid=s.valid & ~kill, active=s.active & ~kill)
+  survivors = np.asarray(s.pos)[np.asarray(s.valid)].copy()
+  assert int(s.count) == 32  # watermark unchanged
+
+  # Append 8 more: must go to slots 32..39, not on top of survivors.
+  pos2 = jnp.asarray(100.0 + rng.normal(size=(8, 3)), jnp.float32)
+  s = surfels_mod.append(s, pos2, nrm[:8], jnp.ones(8), jnp.zeros((8, 3)),
+                         jnp.zeros((8, 2)), jnp.ones(8, dtype=bool))
+  assert int(s.count) == 40
+  out_pos = np.asarray(s.pos)
+  out_valid = np.asarray(s.valid)
+  # All survivors still present, bit-identical.
+  still = out_pos[out_valid & (np.abs(out_pos) < 50).all(axis=1)]
+  assert len(still) == len(survivors)
+  np.testing.assert_array_equal(np.sort(still, axis=0),
+                                np.sort(survivors, axis=0))
+
+  # Compaction re-packs and resets the watermark to the live count.
+  s = surfels_mod.compact(s)
+  assert int(s.count) == int(np.asarray(s.valid).sum()) == 24
