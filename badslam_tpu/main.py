@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
   # Odometry (main.cc:163-177).
   p.add_argument("--num_scales", type=int, default=5)
   p.add_argument("--no_motion_model", action="store_true")
+  p.add_argument("--no_pose_estimation", action="store_true",
+                 help="use the dataset trajectory as-is (mapping only)")
 
   # Bundle adjustment (main.cc:186-245).
   p.add_argument("--keyframe_interval", type=int, default=10)
@@ -124,6 +126,7 @@ def config_from_args(args) -> BadSlamConfig:
       min_observation_count=args.min_observation_count,
       num_scales=args.num_scales,
       use_motion_model=not args.no_motion_model,
+      estimate_poses=not args.no_pose_estimation,
       keyframe_interval=args.keyframe_interval,
       max_num_ba_iterations_per_keyframe=(
           args.max_num_ba_iterations_per_keyframe),

@@ -187,6 +187,12 @@ class BadSlam:
         self.run_odometry(frame_index, processed)
       self.pose_estimated = True
 
+    if not self.pose_estimated:
+      # No odometry ran (first frame or mapping-only mode): the frame still
+      # counts as processed for trajectory export / deformation bounds.
+      with self._ba_lock:
+        self.last_frame_index = max(self.last_frame_index, frame_index)
+
     create_keyframe = (
         force_keyframe or
         ((frame_index - cfg.start_frame) % cfg.keyframe_interval == 0))
