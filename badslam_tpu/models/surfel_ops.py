@@ -415,3 +415,48 @@ def update_surfel_activation(
       scan_body, keep_active & surfels.valid,
       (kf.depth, kf.normals, kf.global_T_frame, kf.valid, kf.activation))
   return surfels._replace(active=active & surfels.valid)
+
+
+# --- Color assignment (visualization / export) ---
+
+
+def assign_colors(
+    surfels: SurfelStore,
+    kf: "KeyframeStore",  # noqa: F821
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    dp: DepthParamsArrays,
+) -> SurfelStore:
+  """Set each surfel's color to the average of its observed keyframe colors
+  (AssignColorsCUDA, kernel_assign_colors.cu:42-140 — the reference uses
+  this for visualization; we use it to refresh colors before export)."""
+  n = surfels.capacity
+  d2c = DepthToColorTransform.between(depth_cam, color_cam)
+
+  def scan_body(carry, inputs):
+    count, rgb_sum = carry
+    depth, normals, rgb, T, valid = inputs
+    frame_T_global = se3.inverse(T)
+    assoc = association.associate_surfels(
+        surfels.pos, surfels.normal, surfels.valid, frame_T_global,
+        depth, normals, depth_cam, dp)
+    color_pxy, in_color = d2c.apply(assoc.pxy)
+    m = assoc.mask & in_color & valid
+    rgb_f = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    sample = jnp.stack(
+        [interp.sample_bilinear(rgb_f[..., c], color_pxy[:, 0],
+                                color_pxy[:, 1]) for c in range(3)],
+        axis=-1)
+    count = count + m.astype(jnp.float32)
+    rgb_sum = rgb_sum + jnp.where(m[:, None], sample, 0.0)
+    return (count, rgb_sum), None
+
+  (count, rgb_sum), _ = jax.lax.scan(
+      scan_body,
+      (jnp.zeros((n,), jnp.float32), jnp.zeros((n, 3), jnp.float32)),
+      (kf.depth, kf.normals, kf.rgb, kf.global_T_frame, kf.valid))
+  observed = count > 0
+  new_color = jnp.where(
+      observed[:, None], rgb_sum / jnp.maximum(count, 1.0)[:, None],
+      surfels.color)
+  return surfels._replace(color=new_color)

@@ -252,6 +252,21 @@ def _pcg_iteration_jit(
   return surfels, kf, pose_update
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dwidth", "dheight", "cwidth", "cheight", "cell_size"))
+def _assign_colors_jit(
+    surfels: SurfelStore, kf: KeyframeStore,
+    depth_intr, color_intr, a, cfactor, baseline_fx,
+    dwidth: int, dheight: int, cwidth: int, cheight: int, cell_size: int,
+) -> SurfelStore:
+  depth_cam = make_camera(depth_intr, dwidth, dheight)
+  color_cam = make_camera(color_intr, cwidth, cheight)
+  dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                         cell_size=cell_size)
+  return surfel_ops.assign_colors(surfels, kf, depth_cam, color_cam, dp)
+
+
 @jax.jit
 def _determine_covisible_active_jit(kf: KeyframeStore) -> KeyframeStore:
   """kInactive keyframes covisible with a kActive one become kCovisibleActive
@@ -694,9 +709,21 @@ class DirectBA:
 
   # --- exports ---
 
-  def export_point_cloud(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+  def assign_colors(self):
+    """Refresh surfel colors by averaging their observations across all
+    keyframes (DirectBA::AssignColors, direct_ba.cc:456-459)."""
+    w, h = self.depth_size
+    cw, ch = self.color_size
+    self.surfels = _assign_colors_jit(
+        self.surfels, self.kf, self.depth_intr, self.color_intr,
+        self.a, self.cfactor, self.baseline_fx, w, h, cw, ch, self.cell_size)
+
+  def export_point_cloud(self, refresh_colors: bool = True
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(positions (M,3), normals (M,3), colors (M,3) u8) of valid surfels
     (DirectBA::ExportToPointCloud, direct_ba.cc:461-547)."""
+    if refresh_colors and self.keyframe_count > 0:
+      self.assign_colors()
     valid = np.asarray(self.surfels.valid)
     pos = np.asarray(self.surfels.pos)[valid]
     nrm = np.asarray(self.surfels.normal)[valid]

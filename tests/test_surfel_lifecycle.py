@@ -232,3 +232,20 @@ def test_append_after_delete_does_not_overwrite_live_surfels():
   # Compaction re-packs and resets the watermark to the live count.
   s = surfels_mod.compact(s)
   assert int(s.count) == int(np.asarray(s.valid).sum()) == 24
+
+
+def test_assign_colors_averages_observations():
+  """AssignColors (kernel_assign_colors.cu): surfel colors become the mean
+  of their observed keyframe colors."""
+  ba, cam = make_ba()
+  inten = synthetic.intensity_function_image(cam)
+  idx, kf, _ = add_plane_keyframe(ba, cam, intensity=inten)
+  ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
+  # Zero out the stored colors, then re-assign from observations.
+  ba.surfels = ba.surfels._replace(color=jnp.zeros_like(ba.surfels.color))
+  ba.assign_colors()
+  valid = np.asarray(ba.surfels.valid)
+  col = np.asarray(ba.surfels.color)[valid]
+  assert (col > 0.05).any(), "colors were not refreshed"
+  # Gray input: channels equal.
+  np.testing.assert_allclose(col[:, 0], col[:, 1], atol=1e-5)
