@@ -328,11 +328,25 @@ class BadSlam:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
     elif not self.config.do_surfel_updates:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=True)
-    if self.loop_detector is not None:
+    if self.loop_detector is not None and self._loop_detection_due(
+        frame_index):
       self.loop_detector.add_keyframe(
           idx, np.asarray(processed.intensity),
           np.asarray(processed.depth), self)
     return idx
+
+  def _loop_detection_due(self, frame_index: int) -> bool:
+    """Throttle loop detection to loop_detection_image_frequency
+    (bad_slam_config.h:367-370: defaults to the keyframe rate, i.e. every
+    keyframe; lower values subsample)."""
+    freq = self.config.get_loop_detection_image_frequency()
+    kf_freq = 30.0 / max(1, self.config.keyframe_interval)
+    if freq >= kf_freq:
+      return True
+    interval = max(1, int(round(kf_freq / max(freq, 1e-6))))
+    self._loop_detection_counter = getattr(
+        self, "_loop_detection_counter", -1) + 1
+    return self._loop_detection_counter % interval == 0
 
   def _check_memory_pressure(self):
     """Low-HBM watchdog (bad_slam.cc:958-968): merge keyframes when free
