@@ -35,9 +35,9 @@ def _load_library() -> Optional[ctypes.CDLL]:
     lib.loader_get.restype = ctypes.c_int
     lib.loader_get.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     lib.decode_png.restype = ctypes.c_int
@@ -133,10 +133,14 @@ class NativePrefetchLoader:
     cw = ctypes.c_int()
     rc = self._lib.loader_get(
         self._handle, index,
-        depth.ctypes.data_as(ctypes.c_void_p), ctypes.byref(dh),
-        ctypes.byref(dw),
-        rgb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(ch),
-        ctypes.byref(cw))
+        depth.ctypes.data_as(ctypes.c_void_p), depth.nbytes,
+        ctypes.byref(dh), ctypes.byref(dw),
+        rgb.ctypes.data_as(ctypes.c_void_p), rgb.nbytes,
+        ctypes.byref(ch), ctypes.byref(cw))
+    if rc == 2:
+      raise IOError(
+          f"frame {index}: decoded size/format differs from frame 0 "
+          f"(got {dh.value}x{dw.value} depth / {ch.value}x{cw.value} rgb)")
     if rc != 0:
       raise IOError(f"failed to load frame {index}")
     if (dh.value, dw.value) != self.depth_shape:

@@ -112,6 +112,22 @@ def load_state(path: str, slam) -> None:
 
   ba = slam.direct_ba
 
+  # Validate geometry-critical settings against the receiving system —
+  # silently installing e.g. a wrong-resolution cfactor grid would corrupt
+  # every calibrated depth.
+  if int(data["cell_size"]) != ba.cell_size:
+    raise ValueError(
+        f"snapshot cell_size {int(data['cell_size'])} != configured "
+        f"{ba.cell_size}")
+  if tuple(int(v) for v in data["depth_size"]) != tuple(ba.depth_size):
+    raise ValueError(
+        f"snapshot depth size {tuple(data['depth_size'])} != dataset "
+        f"{tuple(ba.depth_size)}")
+  if tuple(int(v) for v in data["color_size"]) != tuple(ba.color_size):
+    raise ValueError(
+        f"snapshot color size {tuple(data['color_size'])} != dataset "
+        f"{tuple(ba.color_size)}")
+
   # Trajectory.
   frame_poses = data["frame_poses"]
   for i, f in enumerate(slam.rgbd_video.frames[: len(frame_poses)]):

@@ -142,7 +142,11 @@ class LoopDetector:
         break
     norm_count = (self._match_count(entry, prev_entry)[0]
                   if prev_entry is not None else self.min_match_count)
-    norm_count = max(norm_count, 1)
+    # DLoopDetector's LOW_NSS_FACTOR behavior: when the normalizing match
+    # (vs the temporal neighbor) is itself unreliable — e.g. motion blur —
+    # reject the query instead of loosening the gate.
+    if norm_count < max(5, self.min_match_count // 4):
+      return None, 0, []
 
     best = (None, 0, [])
     for oi in order:
@@ -226,10 +230,15 @@ class LoopDetector:
     n_inliers = int(inliers.sum())
 
     # Direct refinement vs matched keyframe and its next/prev neighbors.
+    # Snapshot shared pose state under the BA lock (a concurrent
+    # memory-pressure merge may invalidate keyframes between reads).
     ba = slam.direct_ba
-    poses = np.asarray(ba.kf.global_T_frame)
-    valid = np.asarray(ba.kf.valid)
-    k = ba.keyframe_count
+    with slam._ba_lock:
+      poses = np.asarray(ba.kf.global_T_frame)
+      valid = np.asarray(ba.kf.valid)
+      k = ba.keyframe_count
+    if not (0 <= old.kf_slot < k and valid[old.kf_slot]):
+      return ev(False, "matched keyframe no longer valid")
 
     neighbors = [old.kf_slot]
     nxt = next((i for i in range(old.kf_slot + 1, k) if valid[i]), None)

@@ -63,11 +63,9 @@ def shard_surfels(surfels: SurfelStore, mesh: Mesh) -> SurfelStore:
   return jax.tree.map(place, surfels)
 
 
-def _surfel_specs(capacity: int) -> SurfelStore:
+def _surfel_specs() -> SurfelStore:
   """PartitionSpec pytree matching SurfelStore: leading axis sharded except
   the scalar count."""
-  def spec(x):
-    return P(SURFEL_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
   return SurfelStore(
       pos=P(SURFEL_AXIS), normal=P(SURFEL_AXIS), radius_sq=P(SURFEL_AXIS),
       color=P(SURFEL_AXIS), desc=P(SURFEL_AXIS), valid=P(SURFEL_AXIS),
@@ -93,7 +91,7 @@ def make_sharded_ba_iteration(
   (direct_ba_alternating.cc:466-577).
   """
   kf_spec = jax.tree.map(lambda _: P(), KeyframeStore(*KeyframeStore._fields))
-  surfel_spec = _surfel_specs(0)
+  surfel_spec = _surfel_specs()
 
   def iteration(surfels: SurfelStore, kf: KeyframeStore, a, cfactor,
                 baseline_fx):
@@ -183,15 +181,13 @@ def make_sharded_ba_iteration_2d(
   Returns jitted (surfels, kf, a, cfactor, baseline_fx)
       -> (surfels', kf', num_converged).
   """
-  from badslam_tpu.models.keyframes import ACTIVE
-
   def kf_shard_spec(name):
     # (K, ...) arrays shard along kf; the scalar count is replicated.
     return P() if name == "count" else P(KF_AXIS)
 
   kf_spec = KeyframeStore(**{
       name: kf_shard_spec(name) for name in KeyframeStore._fields})
-  surfel_spec = _surfel_specs(0)
+  surfel_spec = _surfel_specs()
 
   def iteration(surfels: SurfelStore, kf: KeyframeStore, a, cfactor,
                 baseline_fx):
@@ -314,7 +310,7 @@ def make_sharded_pcg_step(
   from badslam_tpu.models import pcg as pcg_mod
 
   kf_spec = jax.tree.map(lambda _: P(), KeyframeStore(*KeyframeStore._fields))
-  surfel_spec = _surfel_specs(0)
+  surfel_spec = _surfel_specs()
 
   def step(surfels: SurfelStore, kf: KeyframeStore, a, cfactor, baseline_fx,
            gauge_index):

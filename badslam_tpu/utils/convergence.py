@@ -26,8 +26,8 @@ from badslam_tpu.models import pose_opt
 
 
 class ConvergenceSamples(NamedTuple):
-  update_norm_sq: np.ndarray   # (I,) squared GN update norm per iteration
-  cost: np.ndarray             # (I,) robust cost after the iteration
+  update_norm_sq: np.ndarray   # (I,) squared GN update norm of iteration i
+  cost: np.ndarray             # (I,) robust cost BEFORE applying update i
   residual_count: np.ndarray   # (I,)
 
 
@@ -67,11 +67,13 @@ def analyze_samples(samples: ConvergenceSamples,
   denom = max(initial - final, 1e-30)
   remaining = (cost - final) / denom
   converged_at = int(np.argmax(remaining < relative_cost_tolerance))
+  # cost[i] precedes update[i], so the update that REACHED cost[i] is
+  # update[i-1] — take its norm as the threshold.
+  thr_idx = max(converged_at - 1, 0)
   return {
       "converged_at_iteration": converged_at,
       "recommended_update_threshold_sq":
-          float(samples.update_norm_sq[min(converged_at,
-                                           len(cost) - 1)]),
+          float(samples.update_norm_sq[min(thr_idx, len(cost) - 1)]),
       "initial_cost": float(initial),
       "final_cost": float(final),
       "iterations": len(cost),

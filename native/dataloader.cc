@@ -197,12 +197,15 @@ class Loader {
   bool quit_ = false;
 };
 
-void CopyImage(const Image& img, void* out, int* oh, int* ow) {
+// Copies only if the decoded image fits in the caller's buffer capacity.
+bool CopyImage(const Image& img, void* out, size_t out_capacity, int* oh,
+               int* ow) {
   *oh = img.height;
   *ow = img.width;
-  if (img.ok && out) {
-    std::memcpy(out, img.data.data(), img.data.size());
-  }
+  if (!img.ok || !out) return false;
+  if (img.data.size() > out_capacity) return false;
+  std::memcpy(out, img.data.data(), img.data.size());
+  return true;
 }
 
 }  // namespace
@@ -219,13 +222,18 @@ void* loader_create(int frame_count, const char** depth_paths,
   return new Loader(std::move(d), std::move(c), prefetch, threads);
 }
 
-int loader_get(void* handle, int index, uint16_t* depth_out, int* dh, int* dw,
-               uint8_t* rgb_out, int* ch, int* cw) {
+int loader_get(void* handle, int index, uint16_t* depth_out,
+               long depth_capacity_bytes, int* dh, int* dw, uint8_t* rgb_out,
+               long rgb_capacity_bytes, int* ch, int* cw) {
   auto* loader = static_cast<Loader*>(handle);
   auto frame = loader->Get(index);
   if (!frame || !frame->depth.ok || !frame->rgb.ok) return 1;
-  CopyImage(frame->depth, depth_out, dh, dw);
-  CopyImage(frame->rgb, rgb_out, ch, cw);
+  // A frame whose decoded size/format differs from the caller's buffers
+  // (e.g. RGBA after an RGB first frame) is an error, never an overflow.
+  if (!CopyImage(frame->depth, depth_out,
+                 static_cast<size_t>(depth_capacity_bytes), dh, dw)) return 2;
+  if (!CopyImage(frame->rgb, rgb_out,
+                 static_cast<size_t>(rgb_capacity_bytes), ch, cw)) return 2;
   return 0;
 }
 

@@ -135,15 +135,23 @@ def test_place_recognition_matches_revisit():
   det.entries.append(entry0)
   for i in range(1, 6):
     det.entries.append(det._extract(i, _textured_intensity(i), depth))
+  # The temporal-neighbor normalizer assumes consecutive keyframes overlap
+  # (as in any real sequence): make the latest entry resemble the queries'
+  # surroundings by noising scene 0 slightly.
+  rng = np.random.default_rng(42)
+  img_prev = np.clip(img0 + rng.normal(0, 0.02, img0.shape), 0, 1
+                     ).astype(np.float32)
+  det.entries.append(det._extract(6, img_prev, depth))
 
   # Re-observation of scene 0 must match database entry 0.
-  entry_re = det._extract(6, img0, depth)
+  entry_re = det._extract(7, img0, depth)
   matched, count, matches = det._detect(entry_re)
   assert matched == 0
   assert count >= 50
 
-  # A novel scene must not match anything.
-  entry_new = det._extract(7, _textured_intensity(99), depth)
+  # A novel scene must not match anything (rejected by the low-normalizer
+  # gate or by the match-count threshold).
+  entry_new = det._extract(8, _textured_intensity(99), depth)
   matched2, _, _ = det._detect(entry_new)
   assert matched2 is None
 
