@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
   # Memory (main.cc:247-257).
   p.add_argument("--max_surfel_count", type=int, default=25_000_000)
   p.add_argument("--sparsification", type=int, default=4)
+  p.add_argument("--reconstruction_sparsification", type=int, default=1,
+                 help="sparse surfel cell size used for --export_reconstruction"
+                      " (main.cc:224-229)")
 
   # Surfel reconstruction (main.cc:259-284).
   p.add_argument("--surfel_merge_dist_factor", type=float, default=0.8)
@@ -86,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
 
   # Exports / state (main.cc:359-404 + io.h).
   p.add_argument("--export_point_cloud", default=None)
+  p.add_argument("--export_reconstruction", default=None,
+                 help="run dense geometry-only BA at"
+                      " --reconstruction_sparsification and save the"
+                      " high-resolution point cloud (main.cc:796-855)")
   p.add_argument("--export_calibration", default=None)
   p.add_argument("--export_final_timings", default=None)
   p.add_argument("--save_timings", default=None,
@@ -232,10 +239,62 @@ def run(args) -> int:
     Timing.export_file(args.export_final_timings)
   if args.save_state:
     state_io.save_state(args.save_state, slam)
+  if args.export_reconstruction:
+    export_reconstruction(slam, args.export_reconstruction,
+                          args.reconstruction_sparsification,
+                          quiet=args.quiet)
   if slam.direct_ba.timings_stream is not None:
     slam.direct_ba.timings_stream.close()
     slam.direct_ba.timings_stream = None
   return 0
+
+
+def export_reconstruction(slam, path: str, reconstruction_cell_size: int,
+                          quiet: bool = False) -> None:
+  """High-resolution surfel reconstruction (main.cc:796-855): upscale the
+  cfactor grid to the reconstruction sparsification, run windowed
+  geometry-only BA without descriptor residuals so surfels densify at the
+  finer cell size, assign colors, and export the cloud as PLY. The SLAM
+  settings (cell size, cfactor, residual choice) are restored afterwards;
+  the densified surfel map is kept, as in the reference."""
+  import jax
+  import jax.numpy as jnp
+  from badslam_tpu.io import state as state_io
+  from badslam_tpu.ops import depth_model
+
+  ba = slam.direct_ba
+  old_cell = ba.cell_size
+  old_cfactor = ba.cfactor
+  old_desc = ba.use_descriptor_residuals
+
+  # UpscaleBufferBilinearly (main.cc:806-812): the cfactor deformation grid
+  # shares the surfel sparsification, so interpolate it onto the finer grid.
+  hc, wc = depth_model.cfactor_shape(
+      ba.depth_size[1], ba.depth_size[0], reconstruction_cell_size)
+  ba.cfactor = jax.image.resize(old_cfactor, (hc, wc), method="bilinear")
+  ba.cell_size = reconstruction_cell_size
+  ba.use_descriptor_residuals = False
+
+  # Sliding-window geometry-only BA (main.cc:819-843): keeps the number of
+  # newly created surfels per step bounded by the active window.
+  k = ba.keyframe_count
+  window = 16
+  for window_start in range(0, max(k, 1), window // 2):
+    ba.bundle_adjustment(
+        do_surfel_updates=True, optimize_poses=False, optimize_geometry=True,
+        min_iterations=5, max_iterations=10,
+        active_keyframe_window_start=window_start,
+        active_keyframe_window_end=window_start + window - 1)
+    if not quiet:
+      print(f"reconstruction window {window_start}: "
+            f"{ba.surfel_count} surfels")
+
+  pos, nrm, col = ba.export_point_cloud()  # AssignColors + SavePointCloudAsPLY
+  state_io.save_point_cloud_ply(path, pos, nrm, col)
+
+  ba.cell_size = old_cell
+  ba.cfactor = old_cfactor
+  ba.use_descriptor_residuals = old_desc
 
 
 def main(argv=None) -> int:

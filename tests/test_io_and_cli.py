@@ -111,6 +111,39 @@ def test_cli_end_to_end(tmp_path):
   assert os.path.getsize(timings_path) > 100
 
 
+def test_cli_export_reconstruction(tmp_path):
+  """--export_reconstruction (main.cc:796-855): dense geometry-only BA at the
+  reconstruction sparsification produces a denser cloud on the GT planes."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0, 0, 0, 0.0008 * i, 0], jnp.float32))) for i in range(4)]
+  _write_tum_dataset(str(tmp_path), cam, traj, normals)
+
+  from badslam_tpu.main import main
+  ply_path = str(tmp_path / "sparse.ply")
+  recon_path = str(tmp_path / "dense.ply")
+  rc = main([
+      str(tmp_path), "--keyframe_interval", "2", "--num_scales", "3",
+      "--max_depth", "5.0", "--sparsification", "4",
+      "--min_observation_count_while_bootstrapping_1", "1",
+      "--min_observation_count_while_bootstrapping_2", "1",
+      "--min_observation_count", "1",
+      "--no_loop_detection", "--sequential_ba", "--quiet",
+      "--export_point_cloud", ply_path,
+      "--export_reconstruction", recon_path,
+      "--reconstruction_sparsification", "2",
+  ])
+  assert rc == 0
+  sparse_pos, _, _ = state_io.load_point_cloud_ply(ply_path)
+  dense_pos, dense_nrm, dense_col = state_io.load_point_cloud_ply(recon_path)
+  # Halving the cell size quadruples the surfel density budget.
+  assert len(dense_pos) > 2 * len(sparse_pos)
+  assert np.isfinite(dense_pos).all() and np.isfinite(dense_nrm).all()
+  d = np.abs(dense_pos @ normals.T + 2.5).min(axis=1)
+  assert np.quantile(d, 0.9) < 0.01
+
+
 def test_state_snapshot_roundtrip(tmp_path):
   cam = synthetic.default_test_camera(W, H)
   normals = _make_world()
