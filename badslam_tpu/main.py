@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
 
   # Memory (main.cc:247-257).
   p.add_argument("--max_surfel_count", type=int, default=25_000_000)
+  p.add_argument("--min_free_gpu_memory_mb", type=int, default=250,
+                 help="keyframes are merged under device-memory pressure"
+                      " once free HBM drops below this (bad_slam.cc:958-968)")
   p.add_argument("--sparsification", type=int, default=4)
   p.add_argument("--reconstruction_sparsification", type=int, default=1,
                  help="sparse surfel cell size used for --export_reconstruction"
@@ -124,6 +127,7 @@ def config_from_args(args) -> BadSlamConfig:
       bilateral_filter_radius_factor=args.bilateral_filter_radius_factor,
       bilateral_filter_sigma_inv_depth=args.bilateral_filter_sigma_inv_depth,
       max_surfel_count=args.max_surfel_count,
+      min_free_gpu_memory_mb=args.min_free_gpu_memory_mb,
       sparse_surfel_cell_size=args.sparsification,
       surfel_merge_dist_factor=args.surfel_merge_dist_factor,
       min_observation_count_while_bootstrapping_1=(
