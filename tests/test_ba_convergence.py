@@ -126,6 +126,37 @@ def test_geometry_optimization_pulls_surfels_to_surface():
   assert np.median(d_after) < 0.2 * np.median(d_before)
 
 
+def test_geometry_optimization_recovers_descriptors():
+  """Perturb surfel descriptors; geometry iterations against the clean
+  keyframe must pull them back to the image's values
+  (test_geometry_optimization_photometric_residual.cc)."""
+  ba, cam, kf, T_gt = build_scene(use_descriptors=True)
+  from badslam_tpu.models import geometry_opt
+
+  dp = ba.depth_params()
+  s0 = ba.surfels
+  rng = np.random.default_rng(1)
+  offsets = rng.uniform(-30.0, 30.0,
+                        size=(s0.capacity, 2)).astype(np.float32)
+  perturbed = s0._replace(
+      desc=jnp.where(s0.valid[:, None], s0.desc + jnp.asarray(offsets),
+                     s0.desc),
+      active=s0.valid,
+  )
+
+  out = perturbed
+  for _ in range(10):
+    out = geometry_opt.optimize_geometry_iteration(
+        out, ba.kf, cam, cam, dp,
+        use_depth_residuals=True, use_descriptor_residuals=True)
+
+  valid = np.asarray(s0.valid)
+  d_before = np.abs(np.asarray(perturbed.desc - s0.desc))[valid]
+  d_after = np.abs(np.asarray(out.desc - s0.desc))[valid]
+  assert np.median(d_after) < 0.5          # descriptor units (~[-180, 180])
+  assert np.median(d_after) < 0.05 * np.median(d_before)
+
+
 def test_alternating_ba_recovers_keyframe_pose():
   """Two keyframes of the same scene, the 2nd with a perturbed pose; the
   alternating BA (pose steps vs. fixed first keyframe's surfels) must pull it

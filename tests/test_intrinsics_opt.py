@@ -16,7 +16,8 @@ from badslam_tpu.utils import synthetic
 W, H = 160, 120
 
 
-def build_multi_view_map(n_kf=8, n_planes=8, seed=1):
+def build_multi_view_map(n_kf=8, n_planes=8, seed=1, textured=False,
+                         t_range=0.3, texture_freq=12.0):
   cam = synthetic.default_test_camera(W, H)
   cfg = BadSlamConfig(
       sparse_surfel_cell_size=4,
@@ -37,12 +38,20 @@ def build_multi_view_map(n_kf=8, n_planes=8, seed=1):
   normals = np.asarray(normals)
 
   for i in range(n_kf):
+    # The reference's photometric test draws large pose offsets (+-1.5 m in
+    # xyz) so the views span different distances — that depth diversity is
+    # what makes fx/fy observable from descriptor residuals
+    # (test_intrinsics_optimization_photometric_residual.cc:201-210).
     tangent = np.concatenate([
-        rng.uniform(-0.3, 0.3, 3), rng.uniform(-0.1, 0.1, 3)]).astype(np.float32)
+        rng.uniform(-t_range, t_range, 3),
+        rng.uniform(-0.1, 0.1, 3)]).astype(np.float32)
     T = np.asarray(se3.exp(jnp.asarray(tangent)))
     depth = synthetic.render_planes(cam, T, normals, raw_to_float_depth=1e-3,
                                     max_depth=20.0)
-    kf = synthetic.preprocess_like_test_keyframe(depth, cam, cell=4)
+    intensity = (synthetic.render_intensity(cam, T, depth, freq=texture_freq)
+                 if textured else None)
+    kf = synthetic.preprocess_like_test_keyframe(depth, cam,
+                                                 intensity=intensity, cell=4)
     ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
                     jnp.asarray(T), i)
   for i in range(n_kf):
@@ -75,6 +84,34 @@ def test_depth_intrinsics_recovery():
   assert abs(float(a)) < 0.05
   # cfactor stays near zero (true deformation is zero).
   assert float(jnp.abs(cfactor).max()) < 0.05
+
+
+def test_color_intrinsics_recovery():
+  """Photometric self-calibration
+  (test_intrinsics_optimization_photometric_residual.cc): keyframes with a
+  world-anchored texture; the color camera is perturbed; descriptor residuals
+  must pull fx, fy, cx, cy back."""
+  # Dense texture + large pose diversity mirror the reference scene: both are
+  # required for fx/fy observability (their test textures at ~sin(30x) and
+  # draws +-1.5 m offsets; a smooth or near-static scene leaves a biased
+  # optimum for the focal lengths).
+  ba, cam = build_multi_view_map(n_kf=12, textured=True, t_range=1.0,
+                                 texture_freq=18.0)
+  assert ba.surfel_count > 500
+  true_intr = np.asarray(ba.color_intr)
+
+  distorted = true_intr + np.asarray([0.4, -0.3, 0.25, -0.2], np.float32)
+  color_intr = jnp.asarray(distorted)
+
+  for _ in range(60):
+    _, color_intr, _, _ = intrinsics_opt.optimize_intrinsics(
+        ba.surfels, ba.kf, ba.depth_intr, color_intr, ba.a, ba.cfactor,
+        ba.baseline_fx, ba.depth_size, ba.color_size, ba.cell_size,
+        optimize_depth=False, optimize_color=True)
+
+  est = np.asarray(color_intr)
+  err = np.abs(est - true_intr)
+  assert err.max() < 0.05, f"estimated {est} vs true {true_intr}"
 
 
 def test_intrinsics_noop_when_disabled():
