@@ -29,6 +29,7 @@ pairwise tracker.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -80,7 +81,7 @@ class LoopDetector:
 
   def __init__(self, config, camera, min_match_count: int = 20,
                recent_exclude: int = 10, max_candidates: int = 8,
-               num_features: int = 500):
+               num_features: int = 500, parallel: bool = False):
     import cv2
     self.config = config
     self.camera = camera
@@ -94,6 +95,64 @@ class LoopDetector:
     self.num_loops_closed = 0
     self.num_loops_ignored = 0
     self.events: List[LoopClosureEvent] = []
+
+    # Parallel detection (loop_detector.h:162-166, DetectionThreadMain
+    # loop_detector.cc): a dedicated thread runs feature extraction +
+    # database query + DB insertion for queued images, so the BA thread's
+    # add_keyframe only pops a finished result and handles the CLOSING
+    # (verification + application) itself.
+    self.parallel = parallel
+    self._detector_lock = threading.Lock()   # guards self.entries
+    self._det_cond = threading.Condition()
+    self._det_queue: List = []
+    self._det_results: List = []
+    self._quit = False
+    self._detection_thread: Optional[threading.Thread] = None
+    if parallel:
+      self._detection_thread = threading.Thread(
+          target=self._detection_thread_main, daemon=True,
+          name="loop-detection")
+      self._detection_thread.start()
+
+  def queue_for_detection(self, intensity: np.ndarray, depth: np.ndarray):
+    """QueueForLoopDetection (loop_detector.h:208-214): called on the main
+    thread as soon as the keyframe image exists; detection runs ahead while
+    the keyframe waits in the BA queue. Must be paired 1:1, in order, with a
+    later add_keyframe call."""
+    assert self._detection_thread is not None
+    with self._det_cond:
+      self._det_queue.append((np.array(intensity, copy=True),
+                              np.array(depth, copy=True)))
+      self._det_cond.notify_all()
+
+  def _detection_thread_main(self):
+    while True:
+      with self._det_cond:
+        while not self._det_queue and not self._quit:
+          self._det_cond.wait(timeout=0.1)
+        if self._quit:
+          return
+        intensity, depth = self._det_queue.pop(0)
+      # kf_slot is unknown until the BA thread registers the keyframe; the
+      # entry is patched with the real slot when the result is consumed.
+      entry = self._extract(-1, intensity, depth)
+      with self._detector_lock:
+        matched_db, count, matches = self._detect(entry)
+        self.entries.append(entry)
+        entry_index = len(self.entries) - 1
+      with self._det_cond:
+        self._det_results.append((entry_index, matched_db, count, matches))
+        self._det_cond.notify_all()
+
+  def request_exit_and_wait(self):
+    """~LoopDetector: stop the detection thread (no-op when sequential)."""
+    if self._detection_thread is None:
+      return
+    with self._det_cond:
+      self._quit = True
+      self._det_cond.notify_all()
+    self._detection_thread.join()
+    self._detection_thread = None
 
   # --- feature extraction (loop_detector.cc:97-128,729-757) ---
 
@@ -174,20 +233,43 @@ class LoopDetector:
 
   def remove_keyframe(self, kf_slot: int):
     """LoopDetector::RemoveImage — keyframe deleted by keyframe merging.
-    Takes the keyframe-store slot (stable under the masked store design)."""
-    for i, e in enumerate(self.entries):
-      if e is not None and e.kf_slot == kf_slot:
-        self.entries[i] = None
+    Takes the keyframe-store slot (stable under the masked store design).
+    Callers already hold the BA lock; the detector lock serializes against
+    the parallel detection thread (loop_detector.h:204-220)."""
+    with self._detector_lock:
+      for i, e in enumerate(self.entries):
+        if e is not None and e.kf_slot == kf_slot:
+          self.entries[i] = None
 
   def add_keyframe(self, kf_slot: int, intensity: np.ndarray,
                    depth: np.ndarray, slam) -> Optional[LoopClosureEvent]:
-    """AddImage (loop_detector.cc:208-272): extract, query, verify, close."""
-    entry = self._extract(kf_slot, intensity, depth)
-    matched_db, count, matches = self._detect(entry)
-    self.entries.append(entry)
-    if matched_db is None:
+    """AddImage (loop_detector.cc:208-272): extract + query (or pop the
+    parallel detection thread's result, loop_detector.cc:242-268), then
+    verify and close on the calling thread."""
+    if self._detection_thread is not None:
+      with self._det_cond:
+        while not self._det_results:
+          self._det_cond.wait(timeout=1.0)
+          if not self._det_results and not self._detection_thread.is_alive():
+            raise RuntimeError("loop detection thread died")
+        entry_index, matched_db, count, matches = self._det_results.pop(0)
+      with self._detector_lock:
+        entry = self.entries[entry_index]
+        entry.kf_slot = kf_slot
+        matched_entry = (self.entries[matched_db]
+                         if matched_db is not None else None)
+      if matched_db is None:
+        return None
+    else:
+      entry = self._extract(kf_slot, intensity, depth)
+      matched_db, count, matches = self._detect(entry)
+      self.entries.append(entry)
+      if matched_db is None:
+        return None
+      matched_entry = self.entries[matched_db]
+    if matched_entry is None:
+      # The matched keyframe was merged away between detection and closing.
       return None
-    matched_entry = self.entries[matched_db]
     event = self._verify_and_close(entry, matched_entry, matches, slam)
     self.events.append(event)
     if event.applied:

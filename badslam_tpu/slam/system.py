@@ -129,7 +129,8 @@ class BadSlam:
     self.direct_ba = DirectBA(config, depth_cam, color_cam)
     if loop_detector is None and config.enable_loop_detection:
       from badslam_tpu.loop.detector import LoopDetector
-      loop_detector = LoopDetector(config, color_cam)
+      loop_detector = LoopDetector(
+          config, color_cam, parallel=config.parallel_loop_detection)
     self.loop_detector = loop_detector
 
     # Base-keyframe state (bad_slam.h:330+): index into the keyframe store,
@@ -313,10 +314,13 @@ class BadSlam:
         np.asarray(se3.inverse(jnp.asarray(base_T_frame))))
 
   def _add_keyframe_to_ba(self, processed: ProcessedFrame, frame_index: int,
-                          global_T_frame: np.ndarray) -> int:
+                          global_T_frame: np.ndarray,
+                          run_loop_detection: bool) -> int:
     """AddKeyframeToBA (bad_slam.cc:1120-1158): register in the store, run
-    loop detection, create first-keyframe surfels. Caller must NOT hold
-    _ba_lock (loop detection re-enters SLAM state)."""
+    loop closing, create first-keyframe surfels. Caller must NOT hold
+    _ba_lock (loop closing re-enters SLAM state). `run_loop_detection` was
+    decided at keyframe-creation time on the main thread so the parallel
+    detection queue and this closing call stay paired 1:1."""
     ba = self.direct_ba
     idx = ba.add_keyframe(
         processed.depth, processed.normals, processed.radius_sq,
@@ -328,8 +332,7 @@ class BadSlam:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
     elif not self.config.do_surfel_updates:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=True)
-    if self.loop_detector is not None and self._loop_detection_due(
-        frame_index):
+    if run_loop_detection:
       self.loop_detector.add_keyframe(
           idx, np.asarray(processed.intensity),
           np.asarray(processed.depth), self)
@@ -382,16 +385,28 @@ class BadSlam:
     last_kf_T_this = (self.base_kf_tr_frame[-1] if self.base_kf_tr_frame
                       else np.eye(4, dtype=np.float32))
 
+    # Loop detection decision + queueing happen here on the main thread
+    # (bad_slam.cc:1016-1023): with parallel detection the feature
+    # extraction/database query runs ahead on its own thread while the
+    # keyframe waits in the BA queue; the closing stays with
+    # _add_keyframe_to_ba.
+    run_loop_detection = (self.loop_detector is not None
+                          and self._loop_detection_due(frame_index))
+    if run_loop_detection and self.loop_detector.parallel:
+      self.loop_detector.queue_for_detection(
+          np.asarray(processed.intensity), np.asarray(processed.depth))
+
     if self._parallel:
       with self._ba_lock:
         self._queued_keyframes.append(
-            (processed, frame_index, last_kf_T_this))
+            (processed, frame_index, last_kf_T_this, run_loop_detection))
         keyframes_added = (len(self._queued_keyframes)
                            + ba.keyframe_count)
         self.base_kf_index = None  # resolved when the BA thread adds it
         self.base_kf_global_T_frame = np.asarray(global_T_frame)
     else:
-      idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame)
+      idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame,
+                                     run_loop_detection)
       self.base_kf_index = idx
       self.base_kf_global_T_frame = np.asarray(global_T_frame)
       keyframes_added = ba.keyframe_count
@@ -443,7 +458,8 @@ class BadSlam:
     called with _ba_lock HELD; releases and re-acquires it around the
     registration work."""
     while self._queued_keyframes:
-      processed, frame_index, last_kf_T_this = self._queued_keyframes.pop(0)
+      (processed, frame_index, last_kf_T_this,
+       run_loop_detection) = self._queued_keyframes.pop(0)
       ba = self.direct_ba
       if ba.keyframe_count > 0:
         last_slot = ba.keyframe_count - 1
@@ -453,7 +469,8 @@ class BadSlam:
         global_T_frame = self.rgbd_video.frames[frame_index].global_T_frame
       self._ba_lock.release()
       try:
-        idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame)
+        idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame,
+                                       run_loop_detection)
       finally:
         self._ba_lock.acquire()
       self.rgbd_video.frames[frame_index].global_T_frame = \
@@ -495,6 +512,8 @@ class BadSlam:
     """StopBAThreadAndWaitForIt (bad_slam.h): finish queued work, stop the
     thread, and register any keyframes still in the queue."""
     if self._ba_thread is None:
+      if self.loop_detector is not None:
+        self.loop_detector.request_exit_and_wait()
       return
     # Let the thread drain its iteration queue first.
     import time as _time
@@ -510,6 +529,8 @@ class BadSlam:
     self._ba_thread = None
     with self._ba_lock:
       self._drain_keyframe_queue_locked()
+    if self.loop_detector is not None:
+      self.loop_detector.request_exit_and_wait()
 
   def run_bundle_adjustment(self, optimize_depth_intrinsics: bool,
                             optimize_color_intrinsics: bool,

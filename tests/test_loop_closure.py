@@ -156,6 +156,40 @@ def test_place_recognition_matches_revisit():
   assert matched2 is None
 
 
+def test_parallel_detection_thread_orders_and_patches_slots():
+  """Parallel loop detection (loop_detector.h:162-166): images queued on the
+  main thread are extracted/queried on the detection thread; add_keyframe
+  pops results in order and patches the real keyframe slots."""
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.loop.detector import LoopDetector
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(160, 120)
+  det = LoopDetector(BadSlamConfig(), cam, recent_exclude=10, parallel=True)
+  depth = np.full((120, 160), 2.0, np.float32)
+  try:
+    for i in range(4):
+      det.queue_for_detection(_textured_intensity(i), depth)
+    # With only 4 entries inside the recency window nothing can match, so
+    # add_keyframe must return None without needing a SLAM system.
+    for i, slot in enumerate([5, 9, 11, 12]):
+      ev = det.add_keyframe(slot, _textured_intensity(i), depth, slam=None)
+      assert ev is None
+    slots = [e.kf_slot for e in det.entries]
+    assert slots == [5, 9, 11, 12]
+    # Entries hold the right content for their slot (signature of image i
+    # landed at position i).
+    ref = [det._extract(-1, _textured_intensity(i), depth) for i in range(4)]
+    for e, r in zip(det.entries, ref):
+      assert np.array_equal(e.signature, r.signature)
+    # remove_keyframe by slot works against patched entries.
+    det.remove_keyframe(9)
+    assert det.entries[1] is None
+  finally:
+    det.request_exit_and_wait()
+  assert det._detection_thread is None
+
+
 def test_loop_closure_applied_on_drifted_map():
   """Full pipeline closure: run a short sequence, inject drift into the
   keyframe poses, then revisit the start — the detector must verify the
