@@ -18,6 +18,14 @@ def make_camera(width=64, height=48):
   )
 
 
+def test_matmul_precision_default_is_float32():
+  """Importing the package must pin float32 matmul precision: on TPU the
+  'default' mode feeds bf16 to the MXU (~2.4e-3 rel err), which silently
+  degrades every GN H/b accumulation (see badslam_tpu/geometry/__init__)."""
+  import jax
+  assert str(jax.config.jax_default_matmul_precision) == "float32"
+
+
 # --- camera ---
 
 
