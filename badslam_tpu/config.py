@@ -50,6 +50,12 @@ class BadSlamConfig:
   # (convergence_analysis.h:56-63; the reference's 1e-8 was tuned for
   # 640x480 — tighten at lower resolutions to avoid plateau stalls).
   odometry_convergence_threshold: float = 1e-8
+  # Tracking-failure gate: an accepted frame-to-frame camera movement larger
+  # than this (meters/frame; 0.5 m/frame = 15 m/s at 30 FPS) is treated as
+  # tracking failure instead of being fed to the constant-velocity motion
+  # model, whose extrapolation would otherwise double the error every frame
+  # (the runaway the reference README calls "potentially unstable").
+  max_translation_per_frame: float = 0.5
 
   # --- Bundle adjustment (bad_slam_config.h:185-245) ---
   max_num_ba_iterations_per_keyframe: int = 10

@@ -34,7 +34,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from badslam_tpu.geometry import se3
+from badslam_tpu.geometry import se3_np
 from badslam_tpu.loop.pose_graph import PoseGraphOptimizer
 from badslam_tpu.loop.ransac import ransac_3d3d
 from badslam_tpu.loop.trajectory_deformation import (
@@ -335,19 +335,17 @@ class LoopDetector:
     neighbors.append(prv)
 
     import jax.numpy as jnp
-    matched_frame_T_global = np.asarray(
-        se3.inverse(jnp.asarray(poses[old.kf_slot])))
+    # Host-side 4x4 pose algebra stays in numpy (se3_np): this runs on the
+    # BA/detection threads concurrently with the main thread's device work.
+    matched_frame_T_global = se3_np.inverse(poses[old.kf_slot])
     cur_T_old_refined = []
     for slot in neighbors:
       matched_T_this = (np.eye(4, dtype=np.float32) if slot == old.kf_slot
                         else matched_frame_T_global @ poses[slot])
-      init = np.asarray(
-          se3.inverse(jnp.asarray(old_T_cur))) @ matched_T_this
+      init = se3_np.inverse(old_T_cur) @ matched_T_this
       cur_T_tracked = slam.track_keyframe_pair(cur.kf_slot, slot, init)
-      old_T_cur_ref = matched_T_this @ np.asarray(
-          se3.inverse(jnp.asarray(cur_T_tracked)))
-      cur_T_old_refined.append(np.asarray(
-          se3.inverse(jnp.asarray(old_T_cur_ref))))
+      old_T_cur_ref = matched_T_this @ se3_np.inverse(cur_T_tracked)
+      cur_T_old_refined.append(se3_np.inverse(old_T_cur_ref))
 
     # Mutual consistency gates (loop_detector.cc:575-604).
     for i in range(2):
@@ -364,8 +362,7 @@ class LoopDetector:
           return ev(False, f"refined translations disagree ({dt:.3f} m)",
                     n_inliers)
 
-    cur_T_old_avg = np.asarray(se3.average_poses(
-        jnp.asarray(np.stack(cur_T_old_refined))))
+    cur_T_old_avg = se3_np.average_poses(np.stack(cur_T_old_refined))
 
     # "Is BA enough?" reprojection test (loop_detector.cc:624-666).
     cur_T_global_est = cur_T_old_avg @ matched_frame_T_global

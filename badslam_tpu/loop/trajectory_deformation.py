@@ -6,22 +6,26 @@ trajectory_deformation.cc:33-130 (``RememberKeyframePoses`` +
 closure moves keyframes, every non-keyframe frame is moved by the
 slerp/lerp-interpolated delta of its neighboring keyframes (extrapolated by
 the nearest keyframe outside the keyframe range).
+
+Runs entirely on the host in numpy: it is called from the BA thread
+concurrently with the main thread's jitted device programs, and consists of
+per-frame 4x4 products — exactly the kind of work that must NOT be
+dispatched as eager device ops on a remote-attached TPU (ms-level transfer
+latency per op, and it needlessly contends with the device stream).
 """
 
 from __future__ import annotations
 
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
-from badslam_tpu.geometry import se3
+from badslam_tpu.geometry import se3_np
 
 
 def remember_keyframe_poses(kf_global_T_frame: np.ndarray) -> np.ndarray:
   """Stores frame_T_global per keyframe (trajectory_deformation.cc:33-42)."""
-  return np.asarray(
-      se3.inverse(jnp.asarray(kf_global_T_frame, jnp.float32)))
+  return se3_np.inverse(np.asarray(kf_global_T_frame, np.float32))
 
 
 def extrapolate_and_interpolate_keyframe_pose_changes(
@@ -44,6 +48,10 @@ def extrapolate_and_interpolate_keyframe_pose_changes(
   if k == 0:
     return
 
+  original_kf_frame_T_global = np.asarray(original_kf_frame_T_global,
+                                          np.float32)
+  new_kf_global_T_frame = np.asarray(new_kf_global_T_frame, np.float32)
+
   prev_k = 0
   next_k = 0
   for f in range(start_frame, end_frame + 1):
@@ -54,24 +62,22 @@ def extrapolate_and_interpolate_keyframe_pose_changes(
     if kf_idx[prev_k] == f:
       continue  # keyframe: already updated by the caller
 
-    T_f = jnp.asarray(frame_poses[f], jnp.float32)
+    T_f = np.asarray(frame_poses[f], np.float32)
 
     def delta_via(kf_slot):
-      old_kf_T_f = (jnp.asarray(original_kf_frame_T_global[kf_slot]) @ T_f)
-      new_global_T_f = (jnp.asarray(new_kf_global_T_frame[kf_slot])
-                        @ old_kf_T_f)
-      return new_global_T_f
+      old_kf_T_f = original_kf_frame_T_global[kf_slot] @ T_f
+      return new_kf_global_T_frame[kf_slot] @ old_kf_T_f
 
     if next_k >= k or kf_idx[prev_k] > f:
       # Extrapolate via the nearest keyframe.
-      frame_poses[f] = np.asarray(delta_via(prev_k))
+      frame_poses[f] = delta_via(prev_k)
     else:
       # Interpolate the per-frame delta between the two bracketing keyframes
       # (trajectory_deformation.cc:85-126: deltas expressed in the frame's own
       # coordinates, combined with slerp+lerp).
-      f_T_global = se3.inverse(T_f)
+      f_T_global = se3_np.inverse(T_f)
       d_prev = f_T_global @ delta_via(prev_k)
       d_next = f_T_global @ delta_via(next_k)
       factor = (f - kf_idx[prev_k]) / float(kf_idx[next_k] - kf_idx[prev_k])
-      d = se3.interpolate(d_prev, d_next, factor)
-      frame_poses[f] = np.asarray(T_f @ d)
+      d = se3_np.interpolate(d_prev, d_next, factor)
+      frame_poses[f] = T_f @ d

@@ -186,7 +186,10 @@ def _frame_to_frame_terms(
 def frame_to_frame_h_b(
     tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
     use_depth_residuals=True, use_descriptor_residuals=True,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """Returns (H, b, residual_count). The count of associated pixels is a
+  byproduct of the accumulation and feeds the tracking-failure gate in
+  BadSlam.run_odometry."""
   terms = _frame_to_frame_terms(
       tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
       use_descriptor_residuals)
@@ -202,7 +205,7 @@ def frame_to_frame_h_b(
     H1, b1 = cost.accumulate_h_b(terms.desc_J1, terms.desc_r1, w1, terms.mask)
     H2, b2 = cost.accumulate_h_b(terms.desc_J2, terms.desc_r2, w2, terms.mask)
     H, b = H + H1 + H2, b + b1 + b2
-  return H, b
+  return H, b, jnp.sum(terms.mask.astype(jnp.int32))
 
 
 def frame_to_frame_cost(
@@ -240,11 +243,16 @@ def track_frame_pairwise(
     use_pyramid_level_0: bool = False,
     max_iterations_per_scale: int = 30,
     convergence_threshold: float = _SCALE_N_THRESHOLD,
-) -> jax.Array:
-  """Full coarse-to-fine tracking; returns base_T_frame.
+) -> Tuple[jax.Array, jax.Array]:
+  """Full coarse-to-fine tracking; returns (base_T_frame, residual_count).
 
   ``base_pyramid``/``tracked_pyramid`` are lists of FramePyramidLevel with
-  *calibrated* depth, level 0 = full resolution.
+  *calibrated* depth, level 0 = full resolution. ``residual_count`` is the
+  number of associated pixels in the finest tracked scale's last GN
+  iteration — near-zero means the estimate left the association basin
+  entirely and the result is an untrusted no-op (the caller treats that as
+  tracking failure; the reference has no such signal and silently accepts,
+  which its README acknowledges as "potentially unstable").
   """
   num_scales = len(base_pyramid)
   finest = 0 if use_pyramid_level_0 else 1
@@ -288,21 +296,23 @@ def track_frame_pairwise(
       damping = 1.0
 
     def cond(state):
-      _, it, converged = state
+      _, it, converged, _ = state
       return (it < max_iterations_per_scale) & jnp.logical_not(converged)
 
     def body(state):
-      T, it, _ = state
-      H, b = frame_to_frame_h_b(
+      T, it, _, _ = state
+      H, b, n = frame_to_frame_h_b(
           se3.inverse(T), base_l, tracked_l, cam_s, baseline_fx,
           threshold_factor, use_depth_residuals, use_descriptor_residuals)
       x = solve_6x6(H, b)
       x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
       T_new = T @ se3.exp(-damping * x)
       return (T_new, it + 1,
-              is_scale_n_converged(x, scaling_factor, convergence_threshold))
+              is_scale_n_converged(x, scaling_factor, convergence_threshold),
+              n)
 
-    estimate, _, _ = jax.lax.while_loop(
-        cond, body, (estimate, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+    estimate, _, _, residual_count = jax.lax.while_loop(
+        cond, body, (estimate, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                     jnp.zeros((), jnp.int32)))
 
-  return estimate
+  return estimate, residual_count

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from badslam_tpu.config import BadSlamConfig
-from badslam_tpu.geometry import se3
+from badslam_tpu.geometry import se3_np
 from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.io.dataset import RGBDVideo
 from badslam_tpu.models import odometry as odometry_mod
@@ -285,7 +285,7 @@ class BadSlam:
     w, h = ba.depth_size
 
     base = self.base_kf_images
-    base_T_frame = _odometry_jit(
+    base_T_frame, n_resid = _odometry_jit(
         base.depth, base.normals, base.intensity,
         processed.raw_depth, processed.normals, processed.intensity,
         ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
@@ -294,12 +294,26 @@ class BadSlam:
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
         True, cfg.odometry_convergence_threshold)
     base_T_frame = np.asarray(base_T_frame)
-    if not np.isfinite(base_T_frame).all():
-      # Tracking diverged (reference: divergence debug prompt). Keep the
-      # motion-model prediction instead of propagating NaNs.
-      print(f"WARNING: odometry diverged at frame {frame_index}; "
-            "falling back to the motion-model prediction")
-      base_T_frame = est1
+    n_resid = int(n_resid)
+    # Tracking-failure gate. If the final GN iteration associated almost no
+    # pixels, the estimate never re-entered the association basin: GN was a
+    # no-op around a bad initialization and the "result" is just that
+    # initialization. The reference silently accepts this (and its two-
+    # hypothesis TOTAL-cost heuristic can then prefer the low-residual
+    # garbage), which lets the constant-velocity motion model double the
+    # error every frame until overflow — its README flags this instability.
+    # Here: fall back to the last ACCEPTED relative pose (constant-position
+    # model), which also zeroes the implied velocity and breaks the feedback.
+    min_resid = max(50, (w * h) // 100)  # 1% of level-0 pixels
+    prev_rel = (self.base_kf_tr_frame[-1] if self.base_kf_tr_frame
+                else np.eye(4, dtype=np.float32))
+    frame_speed = float(np.linalg.norm(base_T_frame[:3, 3] - prev_rel[:3, 3]))
+    if (not np.isfinite(base_T_frame).all() or n_resid < min_resid
+        or frame_speed > cfg.max_translation_per_frame):
+      print(f"WARNING: tracking failed at frame {frame_index} "
+            f"({n_resid} residuals, {frame_speed:.2f} m moved); "
+            "holding last pose")
+      base_T_frame = prev_rel
 
     with self._ba_lock:
       new_global_T_frame = self.base_kf_global_T_frame @ base_T_frame
@@ -310,8 +324,7 @@ class BadSlam:
       self.base_kf_tr_frame.pop(0)
       self.frame_tr_base_kf.pop(0)
     self.base_kf_tr_frame.append(base_T_frame)
-    self.frame_tr_base_kf.append(
-        np.asarray(se3.inverse(jnp.asarray(base_T_frame))))
+    self.frame_tr_base_kf.append(se3_np.inverse(base_T_frame))
 
   def _add_keyframe_to_ba(self, processed: ProcessedFrame, frame_index: int,
                           global_T_frame: np.ndarray,
@@ -504,6 +517,7 @@ class BadSlam:
             active_keyframe_window_end=k - 1,
             increase_ba_iteration_count=False)
 
+
       # Trajectory deformation + base keyframe pose refresh
       # (bad_slam.cc:1291-1300).
       self._apply_trajectory_deformation(original)
@@ -567,8 +581,7 @@ class BadSlam:
       n_kf = len(self.keyframe_frame_indices)
       if n_kf and self.last_frame_index >= 0:
         frame_poses = [f.global_T_frame for f in self.rgbd_video.frames]
-        orig_frame_T_global = np.asarray(
-            se3.inverse(jnp.asarray(original_kf_poses[:n_kf])))
+        orig_frame_T_global = se3_np.inverse(original_kf_poses[:n_kf])
         for slot in range(n_kf):
           frame_poses[self.keyframe_frame_indices[slot]] = new_poses[slot]
         extrapolate_and_interpolate_keyframe_pose_changes(
@@ -601,7 +614,7 @@ class BadSlam:
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
         True, cfg.odometry_convergence_threshold)
-    return np.asarray(out)
+    return np.asarray(out[0])
 
   # --- trajectory access ---
 

@@ -47,10 +47,11 @@ def test_pairwise_tracking_recovers_distorted_pose(distortion):
     init = base_T_tracked_gt @ se3.exp(jnp.asarray(
         distortion * rng.standard_normal(6), jnp.float32))
 
-    est = om.track_frame_pairwise(
+    est, n_resid = om.track_frame_pairwise(
         base_pyr, tracked_pyr, cam, baseline_fx, init, init,
         test_different_initial_estimates=False,
         use_pyramid_level_0=True)
+    assert int(n_resid) > 1000  # healthy association count
     err = float(np.linalg.norm(np.asarray(
         se3.log(se3.inverse(est) @ base_T_tracked_gt))))
     errors.append(err)
