@@ -29,6 +29,26 @@ def inverse(T: np.ndarray) -> np.ndarray:
   return out
 
 
+def orthonormalize(T: np.ndarray) -> np.ndarray:
+  """Re-project the rotation block onto SO(3) (nearest rotation, via SVD).
+
+  The reference never needs this because Sophus stores rotations as unit
+  quaternions (normalized by construction). With 4x4 f32 matrices, host-side
+  pose composition chains — and especially the constant-velocity motion
+  model, which SQUARES the last relative pose every frame while the tracker
+  (init @ exp-updates) preserves any defect of its init — turn f32 roundoff
+  into a per-frame doubling of ||R^T R - I||: measured divergence at ~frame
+  17 of the round-1 config0 benchmark (benchmarks/diag_odometry.py exp J:
+  ||R^T R - I||=0.097, det R=1.083 at frame 17; orthonormalizing the init
+  restored 0.58 mm tracking). Applied at every host composition chokepoint.
+  """
+  T = np.asarray(T, np.float32)
+  u, _, vt = np.linalg.svd(T[0:3, 0:3].astype(np.float64))
+  d = np.sign(np.linalg.det(u @ vt))
+  R = (u * np.array([1.0, 1.0, d])) @ vt
+  return make(R.astype(np.float32), T[0:3, 3])
+
+
 def make(R: np.ndarray, t: np.ndarray) -> np.ndarray:
   out = np.zeros(R.shape[:-2] + (4, 4), np.float32)
   out[..., 0:3, 0:3] = R

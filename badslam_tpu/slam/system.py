@@ -274,7 +274,10 @@ class BadSlam:
       if not np.isfinite(e).all() or np.linalg.norm(e[:3, 3]) > 10.0:
         return hist[n - 1] if np.isfinite(hist[n - 1]).all() else \
             np.eye(4, dtype=np.float32)
-      return e
+      # The motion model squares relative poses, which doubles any rotation-
+      # block defect per frame (see se3_np.orthonormalize); renormalize so
+      # the tracker starts from a true rigid transform.
+      return se3_np.orthonormalize(e)
     return sane(est1), sane(est2)
 
   def run_odometry(self, frame_index: int, processed: ProcessedFrame):
@@ -293,7 +296,11 @@ class BadSlam:
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
         True, cfg.odometry_convergence_threshold)
-    base_T_frame = np.asarray(base_T_frame)
+    # Renormalize the tracker output: GN updates (init @ exp(x)) preserve any
+    # non-orthonormality of the init, and this result feeds back into the
+    # motion-model history (the round-1 divergence cascade; se3_np
+    # .orthonormalize docstring).
+    base_T_frame = se3_np.orthonormalize(np.asarray(base_T_frame))
     n_resid = int(n_resid)
     # Tracking-failure gate. If the final GN iteration associated almost no
     # pixels, the estimate never re-entered the association basin: GN was a
@@ -432,8 +439,10 @@ class BadSlam:
       last = self.base_kf_tr_frame[-1]
       last_inv = self.frame_tr_base_kf[-1]
       for k in range(len(self.base_kf_tr_frame) - 1):
-        self.frame_tr_base_kf[k] = self.frame_tr_base_kf[k] @ last
-        self.base_kf_tr_frame[k] = last_inv @ self.base_kf_tr_frame[k]
+        self.frame_tr_base_kf[k] = se3_np.orthonormalize(
+            self.frame_tr_base_kf[k] @ last)
+        self.base_kf_tr_frame[k] = se3_np.orthonormalize(
+            last_inv @ self.base_kf_tr_frame[k])
       self.base_kf_tr_frame[-1] = np.eye(4, dtype=np.float32)
       self.frame_tr_base_kf[-1] = np.eye(4, dtype=np.float32)
     else:

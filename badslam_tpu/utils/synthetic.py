@@ -251,8 +251,22 @@ def render_heightmap(
 
   px = o[0] + t * dirs[..., 0]
   py = o[1] + t * dirs[..., 1]
-  v = (0.2 + 0.6 * _value_noise_2d(px, py, texture_cell, seed + 7)
-       + 0.2 * _value_noise_2d(px, py, texture_cell * 4.7, seed + 8)) / 1.2
+  # Band-limited 1/f-style texture. A white-spectrum texture (power at the
+  # pixel scale) aliases at every pyramid level: the 2x2-mean pyramid then
+  # presents coarse GN with a landscape of false local minima ~0.2 px apart,
+  # which corrupts coarse-to-fine tracking and lets the constant-velocity
+  # motion model double the error each frame (measured: benchmarks/
+  # diag_odometry.py experiments A-G). Natural images fall off ~1/f^2, and
+  # the reference's own pairwise test textures a heightmap with random
+  # per-vertex colors at ~10 px spacing, Gouraud-interpolated
+  # (test_pairwise_frame_tracking.cc:292-330) — band-limited by
+  # construction. Octaves: dominant structure at 5x and 17x the base cell
+  # (well-resolved at all pyramid levels for the benchmark cameras), plus a
+  # low-amplitude fine octave at the base cell for level-0 sharpness.
+  v = (0.40 * _value_noise_2d(px, py, texture_cell * 17.0, seed + 8)
+       + 0.40 * _value_noise_2d(px, py, texture_cell * 5.0, seed + 7)
+       + 0.20 * _value_noise_2d(px, py, texture_cell, seed + 9))
+  v = 0.15 + 0.7 * v
   u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
   intensity = u8.astype(np.float32) * np.float32(1.0 / 255.0)
   return depth, intensity

@@ -1,0 +1,165 @@
+"""Synthetic TUM-format dataset generator: long textured sequences on disk.
+
+Writes a dataset directory in the exact layout `io.dataset.load_tum_dataset`
+(and the reference's ReadTUMRGBDDatasetAssociatedAndCalibrated,
+/root/reference/libvis/src/libvis/rgbd_video_io_tum_dataset.h:73+) consumes:
+
+  calibration.txt    "fx fy cx cy" (center convention)
+  associated.txt     "rgb_ts rgb/NNNN.png depth_ts depth/NNNN.png"
+  groundtruth.txt    TUM trajectory "ts tx ty tz qx qy qz qw"
+  rgb/NNNN.png       8-bit grayscale-as-RGB
+  depth/NNNN.png     16-bit raw depth (depth_scaling * meters)
+
+The world is the analytic heightmap surface (utils.synthetic.render_heightmap:
+value-noise texture at ~2 cm scale, z-variation 5 cm) so depth and photometric
+residuals are multi-view consistent; the default trajectory is a closed loop
+with a genuine revisit of the start pose, which exercises odometry drift,
+BA, loop detection, and pose-graph closure end-to-end (VERDICT round-1
+item 3: nothing below 500 frames / 640x480 surfaces threading, drift, and
+retrieval failures).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from badslam_tpu.geometry import se3_np
+from badslam_tpu.geometry.camera import PinholeCamera
+from badslam_tpu.utils import synthetic
+
+
+def loop_trajectory(num_frames: int, radius: float = 0.25,
+                    wobble: float = 0.03, loops: float = 1.0,
+                    look_jitter: float = 0.06) -> List[np.ndarray]:
+  """A closed horizontal circle above the heightmap with gentle look-around.
+
+  The camera starts and ends at the same pose (a genuine revisit after
+  `loops` full circles). Poses are global_T_frame with the camera looking
+  roughly along +z (at the surface), orbiting in the x/y plane.
+  """
+  out = []
+  for i in range(num_frames):
+    s = loops * 2.0 * np.pi * i / num_frames
+    # Camera position on the circle, with a slow vertical wobble.
+    pos = np.array([radius * np.sin(s),
+                    radius * (1.0 - np.cos(s)),
+                    wobble * np.sin(2.0 * s)], np.float64)
+    # Look direction: +z with a small smooth jitter so rotation is exercised.
+    yaw = look_jitter * np.sin(3.0 * s)
+    pitch = look_jitter * np.cos(2.0 * s) * 0.7
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    T = np.eye(4)
+    T[:3, :3] = Ry @ Rx
+    T[:3, 3] = pos
+    out.append(T.astype(np.float32))
+  return out
+
+
+def straight_trajectory(num_frames: int, step=None) -> List[np.ndarray]:
+  """Constant-twist trajectory (the config0 shape), for drift measurement."""
+  import jax.numpy as jnp
+  from badslam_tpu.geometry import se3
+  if step is None:
+    step = [0.002, 0.0008, -0.0005, 0.0005, -0.00025, 0.0004]
+  step = np.asarray(step, np.float64)
+  return [np.asarray(se3.exp(jnp.asarray(i * step, jnp.float32)))
+          for i in range(num_frames)]
+
+
+def write_tum_dataset(
+    out_dir: str,
+    trajectory: List[np.ndarray],
+    width: int = 640,
+    height: int = 480,
+    depth_scaling: float = 5000.0,
+    fps: float = 30.0,
+    seed: int = 5,
+    z_distance: float = 1.0,
+    z_variation: float = 0.05,
+    camera: Optional[PinholeCamera] = None,
+    quiet: bool = False,
+) -> str:
+  """Render + write the dataset; returns out_dir. Skips rendering when the
+  directory already holds a complete dataset for the same parameters."""
+  from PIL import Image as PILImage
+
+  cam = camera or synthetic.default_test_camera(width, height)
+  stamp = (f"{len(trajectory)} {width}x{height} {depth_scaling} {fps} "
+           f"{seed} {z_distance} {z_variation}")
+  stamp_path = os.path.join(out_dir, ".generator_stamp")
+  if os.path.exists(stamp_path):
+    with open(stamp_path) as f:
+      if f.read().strip() == stamp:
+        return out_dir
+
+  os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+  os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+
+  with open(os.path.join(out_dir, "calibration.txt"), "w") as f:
+    # storage is corner-convention; calibration.txt carries center convention
+    # (load_tum_dataset adds +0.5 back).
+    f.write(f"{float(cam.fx)} {float(cam.fy)} "
+            f"{float(cam.cx) - 0.5} {float(cam.cy) - 0.5}\n")
+
+  assoc_lines = []
+  gt_lines = []
+  for i, T in enumerate(trajectory):
+    ts = i / fps
+    depth, inten = synthetic.render_heightmap(
+        cam, T, z_distance=z_distance, z_variation=z_variation, seed=seed,
+        raw_to_float_depth=1.0 / depth_scaling)
+    u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    rgb = np.stack([u8, u8, u8], axis=-1)
+    raw_u16 = np.floor(depth * depth_scaling + 0.5).astype(np.uint16)
+
+    rgb_rel = f"rgb/{i:06d}.png"
+    depth_rel = f"depth/{i:06d}.png"
+    PILImage.fromarray(rgb).save(os.path.join(out_dir, rgb_rel))
+    PILImage.fromarray(raw_u16).save(os.path.join(out_dir, depth_rel))
+    assoc_lines.append(f"{ts:.6f} {rgb_rel} {ts:.6f} {depth_rel}")
+
+    q = se3_np.matrix_to_quaternion(T[:3, :3])  # (x, y, z, w)
+    t = T[:3, 3]
+    gt_lines.append(f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}")
+    if not quiet and (i + 1) % 50 == 0:
+      print(f"  rendered {i + 1}/{len(trajectory)} frames")
+
+  with open(os.path.join(out_dir, "associated.txt"), "w") as f:
+    f.write("\n".join(assoc_lines) + "\n")
+  with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+    f.write("\n".join(gt_lines) + "\n")
+  with open(stamp_path, "w") as f:
+    f.write(stamp + "\n")
+  return out_dir
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+  p.add_argument("out_dir")
+  p.add_argument("--frames", type=int, default=500)
+  p.add_argument("--size", default="640x480")
+  p.add_argument("--trajectory", choices=["loop", "straight"], default="loop")
+  p.add_argument("--radius", type=float, default=0.25)
+  p.add_argument("--depth_scaling", type=float, default=5000.0)
+  p.add_argument("--seed", type=int, default=5)
+  args = p.parse_args()
+  w, h = (int(v) for v in args.size.split("x"))
+  if args.trajectory == "loop":
+    traj = loop_trajectory(args.frames, radius=args.radius)
+  else:
+    traj = straight_trajectory(args.frames)
+  write_tum_dataset(args.out_dir, traj, width=w, height=h,
+                    depth_scaling=args.depth_scaling, seed=args.seed)
+  print(f"wrote {args.frames} frames to {args.out_dir}")
+
+
+if __name__ == "__main__":
+  main()
