@@ -107,12 +107,35 @@ def main():
   elapsed = time.perf_counter() - start
 
   kf_iters_per_s = n_kf * iters / elapsed
-  print(json.dumps({
+
+  # Measured CPU-backend baseline on the SAME workload (VERDICT round-1:
+  # report a measured baseline alongside the derived 30 kf_iter/s).
+  cpu_kf_iters_per_s = None
+  try:
+    cpu = jax.devices("cpu")[0]
+    s_c = jax.device_put(ba.surfels, cpu)
+    k_c = jax.device_put(ba.kf, cpu)
+    s1, k1 = ba_iteration(s_c, k_c)  # compile + warmup
+    jax.block_until_ready((s1, k1))
+    cpu_iters = 2
+    start = time.perf_counter()
+    for _ in range(cpu_iters):
+      s1, k1 = ba_iteration(s1, k1)
+    jax.block_until_ready((s1, k1))
+    cpu_kf_iters_per_s = n_kf * cpu_iters / (time.perf_counter() - start)
+  except Exception:
+    pass
+
+  out = {
       "metric": "ba_keyframe_iterations_per_s",
       "value": round(kf_iters_per_s, 2),
       "unit": "kf_iter/s",
       "vs_baseline": round(kf_iters_per_s / REFERENCE_KF_ITERS_PER_S, 3),
-  }))
+  }
+  if cpu_kf_iters_per_s is not None:
+    out["cpu_backend_kf_iter_per_s"] = round(cpu_kf_iters_per_s, 2)
+    out["vs_cpu_backend"] = round(kf_iters_per_s / cpu_kf_iters_per_s, 2)
+  print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,16 +1,21 @@
-"""BASELINE.md measurement configs on synthetic data.
+"""BASELINE.md measurement configs on synthetic data — self-judging.
 
 Runs the five measurement configurations from BASELINE.md / BASELINE.json on
-the synthetic plane world (no external datasets are reachable from this
-environment) and writes one JSON report:
+synthetic scenes (no external datasets are reachable from this environment)
+and writes one JSON report. Every config carries an explicit `"pass"` flag
+judged against the thresholds below, and timed configs separate compile
+(cold) from steady-state (warm) so keyframes/s is not compile-dominated.
 
-  (0) odometry-only trajectory, ATE RMSE
-  (1) BA over a keyframe set, single chip: pose recovery + keyframes/s
-  (2) full pipeline with loop closure on a drifted revisit
-  (3) self-calibration: intrinsics recovery error
-  (4) multi-device BA: virtual-mesh parity check
+  (0) odometry-only trajectory, ATE RMSE        pass: ATE <= scale-aware bound
+  (1) BA over a keyframe set, single chip       pass: converged + gauge-free
+                                                pose err < 1e-4; warm KF/s
+  (2) full pipeline with loop closure           pass: loop closed + residual
+                                                error < 25%% of injected drift
+  (3) self-calibration intrinsics recovery      pass: residual < 0.05 px
+  (4) multi-device BA virtual-mesh dryrun       pass: executes
 
 Usage:  python benchmarks/run_configs.py [--out report.json] [--size WxH]
+                                         [--frames N]
 """
 
 from __future__ import annotations
@@ -36,8 +41,14 @@ def _world(seed=7, n=3):
   return np.asarray(out)
 
 
-def config0_odometry(width, height):
-  """Odometry-only ATE on a 30-frame synthetic trajectory."""
+def config0_odometry(width, height, num_frames=30):
+  """Odometry-only ATE on a synthetic constant-twist trajectory.
+
+  Pass bound: the measured interpolation bias of direct photometric
+  alignment is ~0.02 px/pair, i.e. ~0.08 mm/frame at 160x120 and ~4x less
+  at 640x480 (it halves per resolution doubling; PERF.md). ATE RMSE of a
+  linear drift ~ endpoint/sqrt(3). Bound = 2x that prediction.
+  """
   import jax.numpy as jnp
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.geometry import se3
@@ -45,11 +56,9 @@ def config0_odometry(width, height):
   from badslam_tpu.utils import synthetic
 
   cam = synthetic.default_test_camera(width, height)
-  # Heightmap world: the analytic analog of the reference pairwise-tracking
-  # test scene (dense random texture, varied normals).
   traj = [np.asarray(se3.exp(jnp.asarray(
       [0.002 * i, 0.0008 * i, -0.0005 * i, 0.0005 * i, -0.00025 * i,
-       0.0004 * i], jnp.float32))) for i in range(30)]
+       0.0004 * i], jnp.float32))) for i in range(num_frames)]
   video = synthetic.make_heightmap_video(cam, traj)
   cfg = BadSlamConfig(
       # Odometry-only = keyframes still advance (the tracker needs a nearby
@@ -62,24 +71,31 @@ def config0_odometry(width, height):
       enable_loop_detection=False, parallel_ba=False,
       initial_keyframe_capacity=2, initial_surfel_capacity=1 << 14)
   slam = BadSlam(cfg, video)
-  t0 = time.perf_counter()
   slam.process_frame(0, force_keyframe=True)
-  for i in range(1, 30):
+  slam.process_frame(1)  # includes all tracking compiles
+  t0 = time.perf_counter()
+  for i in range(2, num_frames):
     slam.process_frame(i)
   elapsed = time.perf_counter() - t0
   est = np.stack([f.global_T_frame[:3, 3] for f in video.frames])
   gt = np.stack([t[:3, 3] for t in traj])
   from badslam_tpu.eval import ate_rmse
   rmse, _ = ate_rmse(est, gt)
-  return {"ate_rmse_m": rmse, "frames_per_s": 30 / elapsed}
+  per_frame_bias_m = 8e-5 * (160.0 / width)
+  bound = 2.0 * per_frame_bias_m * num_frames / np.sqrt(3.0)
+  return {"ate_rmse_m": rmse, "frames": num_frames,
+          "warm_frames_per_s": (num_frames - 2) / elapsed,
+          "ate_bound_m": round(float(bound), 5),
+          "pass": bool(rmse <= bound)}
 
 
 def config1_ba(width, height):
-  """Single-chip BA: perturbed keyframes pulled back; keyframes/s."""
+  """Single-chip BA: perturbed keyframes pulled back; warm keyframes/s."""
   import jax
   import jax.numpy as jnp
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.geometry import se3
+  from badslam_tpu.models import keyframes as kf_mod
   from badslam_tpu.slam.direct_ba import DirectBA
   from badslam_tpu.utils import synthetic
 
@@ -96,22 +112,43 @@ def config1_ba(width, height):
                                                cell=2)
   rng = np.random.default_rng(0)
   T_gt = jnp.eye(4, dtype=jnp.float32)
+  perturbed = []
   for i in range(6):
     noise = jnp.asarray(np.concatenate(
         [rng.uniform(-3e-3, 3e-3, 3), rng.uniform(-8e-4, 8e-4, 3)]),
         jnp.float32)
     T = T_gt if i == 0 else T_gt @ se3.exp(noise)
+    perturbed.append(np.asarray(T))
     ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
                     T, i * 10)
+
+  def reset_perturbed():
+    poses = np.asarray(ba.kf.global_T_frame).copy()
+    poses[:6] = np.stack(perturbed)
+    act = np.zeros(poses.shape[0], np.int32)
+    act[:6] = kf_mod.ACTIVE
+    ba.kf = ba.kf._replace(global_T_frame=jnp.asarray(poses),
+                           activation=jnp.asarray(act))
+
+  # Cold pass: includes every compile in the BA scheme.
+  t0 = time.perf_counter()
+  iters_cold, _ = ba.bundle_adjustment(max_iterations=10)
+  jax.block_until_ready(ba.kf.global_T_frame)
+  cold_s = time.perf_counter() - t0
+  # Warm pass: re-perturb and re-run with everything compiled.
+  reset_perturbed()
   t0 = time.perf_counter()
   iters, converged = ba.bundle_adjustment(max_iterations=10)
   jax.block_until_ready(ba.kf.global_T_frame)
   elapsed = time.perf_counter() - t0
   errs = [float(np.abs(np.asarray(se3.log(
       se3.inverse(ba.kf.global_T_frame[i]) @ T_gt))).max()) for i in range(6)]
+  err = max(errs) - min(errs)  # relative (gauge-free)
   return {"iterations": iters, "converged": bool(converged),
-          "max_pose_err": max(errs) - min(errs),  # relative (gauge-free)
-          "keyframes_per_s": 6 * iters / elapsed}
+          "max_pose_err": err,
+          "cold_s": round(cold_s, 2),
+          "keyframes_per_s": 6 * iters / elapsed,
+          "pass": bool(converged and err < 1e-4)}
 
 
 def config2_full_pipeline(width, height):
@@ -144,7 +181,8 @@ def config2_full_pipeline(width, height):
   for i in range(10):
     slam.process_frame(i)
   poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
-  for s_, d in ((3, 0.06), (4, 0.08)):
+  drift = 0.08
+  for s_, d in ((3, 0.06), (4, drift)):
     poses[s_][0, 3] += d
   slam.direct_ba.kf = slam.direct_ba.kf._replace(
       global_T_frame=jnp.asarray(poses))
@@ -153,9 +191,11 @@ def config2_full_pipeline(width, height):
   ev = det.events[-1] if det.events else None
   err = float(np.linalg.norm(
       video.frames[10].global_T_frame[:3, 3] - traj[10][:3, 3]))
-  return {"loop_closed": bool(ev and ev.applied),
+  closed = bool(ev and ev.applied)
+  return {"loop_closed": closed,
           "inliers": ev.inlier_count if ev else 0,
-          "drift_m": 0.08, "residual_error_m": err}
+          "drift_m": drift, "residual_error_m": err,
+          "pass": bool(closed and err < 0.25 * drift)}
 
 
 def config3_self_calibration(width, height):
@@ -176,10 +216,11 @@ def config3_self_calibration(width, height):
         ba.surfels, ba.kf, depth_intr, ba.color_intr, a, cfactor,
         ba.baseline_fx, ba.depth_size, ba.color_size, ba.cell_size,
         True, False)
-  err = np.abs(np.asarray(depth_intr) - true_intr)
+  err = float(np.abs(np.asarray(depth_intr) - true_intr).max())
   return {"initial_perturbation_px": 0.4,
-          "max_residual_err_px": float(err.max()),
-          "a_abs": abs(float(a))}
+          "max_residual_err_px": err,
+          "a_abs": abs(float(a)),
+          "pass": bool(err < 0.05)}
 
 
 def config4_multichip():
@@ -188,21 +229,23 @@ def config4_multichip():
   import jax
   n = len(jax.devices())
   if n < 2:
-    return {"skipped": f"only {n} device(s)"}
+    return {"skipped": f"only {n} device(s)", "pass": None}
   import __graft_entry__ as ge
   ge.dryrun_multichip(min(n, 8))
-  return {"devices": min(n, 8), "dryrun": "ok"}
+  return {"devices": min(n, 8), "dryrun": "ok", "pass": True}
 
 
 def main():
   p = argparse.ArgumentParser()
   p.add_argument("--out", default=None)
   p.add_argument("--size", default="160x120")
+  p.add_argument("--frames", type=int, default=30)
   args = p.parse_args()
   w, h = (int(v) for v in args.size.split("x"))
 
   report = {}
-  for name, fn in [("config0_odometry", lambda: config0_odometry(w, h)),
+  for name, fn in [("config0_odometry",
+                    lambda: config0_odometry(w, h, args.frames)),
                    ("config1_ba", lambda: config1_ba(w, h)),
                    ("config2_full_pipeline",
                     lambda: config2_full_pipeline(w, h)),
@@ -214,9 +257,12 @@ def main():
       report[name] = fn()
       report[name]["wall_s"] = round(time.perf_counter() - t0, 2)
     except Exception as e:  # keep the report going
-      report[name] = {"error": f"{type(e).__name__}: {e}"}
+      report[name] = {"error": f"{type(e).__name__}: {e}", "pass": False}
     print(f"{name}: {json.dumps(report[name])}", flush=True)
 
+  passes = [v.get("pass") for v in report.values()]
+  report["all_pass"] = all(p is not False for p in passes)
+  print(f"all_pass: {report['all_pass']}", flush=True)
   if args.out:
     with open(args.out, "w") as f:
       json.dump(report, f, indent=2)
