@@ -50,6 +50,10 @@ class BadSlamConfig:
   # (convergence_analysis.h:56-63; the reference's 1e-8 was tuned for
   # 640x480 — tighten at lower resolutions to avoid plateau stalls).
   odometry_convergence_threshold: float = 1e-8
+  # Pairwise-tracking photometric residual: False = x/y-gradient descriptor
+  # pair (paper default), True = gradient-magnitude residual (the reference
+  # keeps this as a compile-time constant, bad_slam.cc:831).
+  use_gradmag_for_tracking: bool = False
   # Tracking-failure gate: an accepted frame-to-frame camera movement larger
   # than this (meters/frame; 0.5 m/frame = 15 m/s at 30 FPS) is treated as
   # tracking failure instead of being fed to the constant-velocity motion

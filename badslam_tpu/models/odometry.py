@@ -78,12 +78,21 @@ def _frame_to_frame_terms(
     baseline_fx,
     threshold_factor: float,
     use_descriptor_residuals: bool,
+    residual_type: str = "gradient_xy",
 ) -> FrameToFrameResiduals:
   """All residuals/Jacobians for one pyramid level at the given relative pose.
 
   Both frames' intensity images live in the depth-camera intrinsics (the
   reference resamples the base color there and we do the same for the tracked
   frame; for identical depth/color cameras this matches exactly).
+
+  ``residual_type``: "gradient_xy" (paper default; two x/y-gradient
+  descriptor residuals, kernel_opt_pose.cu:423-711) or "gradmag" (one
+  photometric residual on precomputed Sobel gradient-magnitude images,
+  kernel_opt_pose.cu:714-938 + cost_function.cuh:322-352). In gradmag mode
+  the pyramid levels' ``intensity`` field must hold the gradient-magnitude
+  image (the reference likewise builds its pyramid from the gradmag image,
+  pairwise_frame_tracking.cc:119-150).
   """
   h, w = base.depth.shape
   ys, xs = jnp.meshgrid(
@@ -139,6 +148,19 @@ def _frame_to_frame_terms(
     z6 = jnp.zeros_like(depth_J)
     return FrameToFrameResiduals(mask, depth_r, depth_J, z, z, z6, z6)
 
+  if residual_type == "gradmag":
+    # One photometric residual on gradient-magnitude images:
+    # r = 255*bilinear(tracked_gm, pxy) - 255*base_gm[y,x]
+    # (ComputeRawColorResidualAndJacobian, kernel_opt_pose.cu:192-221).
+    ref_val = 255.0 * base.intensity.ravel()
+    r1 = cost.raw_color_residual(tracked.intensity, pxy, ref_val)
+    gx, gy = cost.color_grads(tracked.intensity, pxy)
+    desc_J1 = cost.projected_position_pose_jacobian(
+        gx * depth_cam.fx, gy * depth_cam.fy, local)
+    z = jnp.zeros_like(r1)
+    z6 = jnp.zeros_like(desc_J1)
+    return FrameToFrameResiduals(mask, depth_r, depth_J, r1, z, desc_J1, z6)
+
   # Base-side descriptor from right/bottom neighbors (kernel_opt_pose.cu:507-512).
   inten = base.intensity
   i_c = inten.ravel()
@@ -186,13 +208,14 @@ def _frame_to_frame_terms(
 def frame_to_frame_h_b(
     tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
     use_depth_residuals=True, use_descriptor_residuals=True,
+    residual_type="gradient_xy",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
   """Returns (H, b, residual_count). The count of associated pixels is a
   byproduct of the accumulation and feeds the tracking-failure gate in
   BadSlam.run_odometry."""
   terms = _frame_to_frame_terms(
       tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
-      use_descriptor_residuals)
+      use_descriptor_residuals, residual_type)
   H = jnp.zeros((6, 6), jnp.float32)
   b = jnp.zeros((6,), jnp.float32)
   if use_depth_residuals:
@@ -201,22 +224,26 @@ def frame_to_frame_h_b(
     H, b = H + Hd, b + bd
   if use_descriptor_residuals:
     w1 = cost.descriptor_weight(terms.desc_r1, threshold_factor)
-    w2 = cost.descriptor_weight(terms.desc_r2, threshold_factor)
     H1, b1 = cost.accumulate_h_b(terms.desc_J1, terms.desc_r1, w1, terms.mask)
-    H2, b2 = cost.accumulate_h_b(terms.desc_J2, terms.desc_r2, w2, terms.mask)
-    H, b = H + H1 + H2, b + b1 + b2
+    H, b = H + H1, b + b1
+    if residual_type == "gradient_xy":
+      w2 = cost.descriptor_weight(terms.desc_r2, threshold_factor)
+      H2, b2 = cost.accumulate_h_b(terms.desc_J2, terms.desc_r2, w2,
+                                   terms.mask)
+      H, b = H + H2, b + b2
   return H, b, jnp.sum(terms.mask.astype(jnp.int32))
 
 
 def frame_to_frame_cost(
     tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
     use_depth_residuals=True, use_descriptor_residuals=True,
+    residual_type="gradient_xy",
 ) -> Tuple[jax.Array, jax.Array]:
   """(cost, residual_count) for the hypothesis-selection heuristic
   (ComputeCostAndResidualCountFromImagesCUDA, kernel_opt_pose.cu:940+)."""
   terms = _frame_to_frame_terms(
       tracked_T_base, base, tracked, depth_cam, baseline_fx, threshold_factor,
-      use_descriptor_residuals)
+      use_descriptor_residuals, residual_type)
   total = jnp.zeros((), jnp.float32)
   count = jnp.zeros((), jnp.int32)
   m = terms.mask
@@ -225,8 +252,10 @@ def frame_to_frame_cost(
     count = count + jnp.sum(m.astype(jnp.int32))
   if use_descriptor_residuals:
     total = total + jnp.sum(jnp.where(m, cost.weighted_descriptor_cost(terms.desc_r1, threshold_factor), 0.0))
-    total = total + jnp.sum(jnp.where(m, cost.weighted_descriptor_cost(terms.desc_r2, threshold_factor), 0.0))
-    count = count + 2 * jnp.sum(m.astype(jnp.int32))
+    count = count + jnp.sum(m.astype(jnp.int32))
+    if residual_type == "gradient_xy":
+      total = total + jnp.sum(jnp.where(m, cost.weighted_descriptor_cost(terms.desc_r2, threshold_factor), 0.0))
+      count = count + jnp.sum(m.astype(jnp.int32))
   return total, count
 
 
@@ -243,6 +272,8 @@ def track_frame_pairwise(
     use_pyramid_level_0: bool = False,
     max_iterations_per_scale: int = 30,
     convergence_threshold: float = _SCALE_N_THRESHOLD,
+    disable_reselection: bool = False,
+    residual_type: str = "gradient_xy",
 ) -> Tuple[jax.Array, jax.Array]:
   """Full coarse-to-fine tracking; returns (base_T_frame, residual_count).
 
@@ -269,7 +300,8 @@ def track_frame_pairwise(
     def eval_cost(T):
       return frame_to_frame_cost(
           se3.inverse(T), base_l, tracked_l, cam_s, baseline_fx,
-          threshold_factor, use_depth_residuals, use_descriptor_residuals)
+          threshold_factor, use_depth_residuals, use_descriptor_residuals,
+          residual_type)
 
     if scale == num_scales - 1:
       if test_different_initial_estimates:
@@ -280,7 +312,7 @@ def track_frame_pairwise(
             jnp.where(n2 > 2 * n1, False, c1 < c2))
         estimate = jnp.where(pick_first, base_T_frame_initial_1, base_T_frame_initial_2)
         chosen_initial = estimate
-    else:
+    elif not disable_reselection:
       c1, n1 = eval_cost(estimate)
       c2, n2 = eval_cost(chosen_initial)
       pick_first = jnp.where(
@@ -303,7 +335,8 @@ def track_frame_pairwise(
       T, it, _, _ = state
       H, b, n = frame_to_frame_h_b(
           se3.inverse(T), base_l, tracked_l, cam_s, baseline_fx,
-          threshold_factor, use_depth_residuals, use_descriptor_residuals)
+          threshold_factor, use_depth_residuals, use_descriptor_residuals,
+          residual_type)
       x = solve_6x6(H, b)
       x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
       T_new = T @ se3.exp(-damping * x)

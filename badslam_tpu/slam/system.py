@@ -79,7 +79,8 @@ def _preprocess_jit(
     jax.jit,
     static_argnames=("width", "height", "cell_size", "num_scales",
                      "use_depth_residuals", "use_descriptor_residuals",
-                     "use_pyramid_level_0", "convergence_threshold"))
+                     "use_pyramid_level_0", "convergence_threshold",
+                     "residual_type"))
 def _odometry_jit(
     base_depth, base_normals, base_intensity,
     tracked_raw_depth, tracked_normals, tracked_intensity,
@@ -89,15 +90,22 @@ def _odometry_jit(
     use_depth_residuals: bool, use_descriptor_residuals: bool,
     use_pyramid_level_0: bool,
     convergence_threshold: float = 1e-8,
+    residual_type: str = "gradient_xy",
 ):
   """RunOdometry compute core (bad_slam.cc:827-951): calibrate both depth
-  images, build pyramids, run coarse-to-fine pairwise tracking."""
+  images, build pyramids, run coarse-to-fine pairwise tracking. In gradmag
+  mode the photometric pyramid is built from the Sobel gradient-magnitude
+  image (bad_slam.cc:859-898 GradMag branch)."""
   cam = make_camera(depth_intr, width, height)
   base_calib = depth_model.calibrate_depth_image(a, cfactor, base_depth,
                                                  cell_size)
   tracked_calib = depth_model.calibrate_depth_image(a, cfactor,
                                                     tracked_raw_depth,
                                                     cell_size)
+  if residual_type == "gradmag":
+    from badslam_tpu.ops.image_proc import sobel_gradient_magnitude
+    base_intensity = sobel_gradient_magnitude(base_intensity)
+    tracked_intensity = sobel_gradient_magnitude(tracked_intensity)
   base_pyr = build_pyramid(base_calib, base_normals, base_intensity,
                            num_scales)
   tracked_pyr = build_pyramid(tracked_calib, tracked_normals,
@@ -110,6 +118,7 @@ def _odometry_jit(
       use_descriptor_residuals=use_descriptor_residuals,
       use_pyramid_level_0=use_pyramid_level_0,
       convergence_threshold=convergence_threshold,
+      residual_type=residual_type,
   )
 
 
@@ -117,7 +126,7 @@ class BadSlam:
   """The system orchestrator (class BadSlam, bad_slam.h:62-363)."""
 
   def __init__(self, config: BadSlamConfig, rgbd_video: RGBDVideo,
-               loop_detector=None):
+               loop_detector=None, mesh=None):
     self.config = config
     self.rgbd_video = rgbd_video
     # Pyramid-level input scaling (main.cc:540-552): cameras and images are
@@ -126,7 +135,9 @@ class BadSlam:
         0.5 ** config.pyramid_level_for_depth)
     color_cam = rgbd_video.color_camera.scaled(
         0.5 ** config.pyramid_level_for_color)
-    self.direct_ba = DirectBA(config, depth_cam, color_cam)
+    # mesh: run the back-end distributed (DirectBA mesh mode — surfel store
+    # sharded over the mesh, BA phases compiled as SPMD programs).
+    self.direct_ba = DirectBA(config, depth_cam, color_cam, mesh=mesh)
     if loop_detector is None and config.enable_loop_detection:
       from badslam_tpu.loop.detector import LoopDetector
       loop_detector = LoopDetector(
@@ -295,7 +306,8 @@ class BadSlam:
         jnp.asarray(est1), jnp.asarray(est2),
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
-        True, cfg.odometry_convergence_threshold)
+        True, cfg.odometry_convergence_threshold,
+        "gradmag" if cfg.use_gradmag_for_tracking else "gradient_xy")
     # Renormalize the tracker output: GN updates (init @ exp(x)) preserve any
     # non-orthonormality of the init, and this result feeds back into the
     # motion-model history (the round-1 divergence cascade; se3_np
@@ -622,7 +634,8 @@ class BadSlam:
         init, init,
         w, h, ba.cell_size, cfg.num_scales,
         cfg.use_geometric_residuals, cfg.use_photometric_residuals,
-        True, cfg.odometry_convergence_threshold)
+        True, cfg.odometry_convergence_threshold,
+        "gradmag" if cfg.use_gradmag_for_tracking else "gradient_xy")
     return np.asarray(out[0])
 
   # --- trajectory access ---
