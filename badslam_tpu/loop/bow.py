@@ -1,0 +1,159 @@
+"""Hierarchical binary bag-of-words vocabulary for loop-closure retrieval.
+
+The reference ships DBoW2 + a pre-trained BRIEF vocabulary (k=10, L=6;
+loop_detector.cc:150-179 with resources/brief_k10L6.voc). We do not ship a
+binary resource; instead the vocabulary is trained ONLINE from the map's own
+ORB descriptors once enough keyframes exist — hierarchical k-medians over
+binary descriptors (bitwise majority vote = the Hamming-metric centroid),
+exactly DBoW2's construction (Galvez-Lopez & Tardos, TRO 2012), minus the
+offline corpus.
+
+Scoring follows DBoW2's L1 norm: s(v, w) = 1 - 0.5 * ||v/|v|_1 - w/|w|_1||_1
+with TF-IDF-weighted word histograms, and the detector normalizes query
+scores by the score against the temporally-previous keyframe (DLoopDetector's
+normalized similarity score), keeping the reference's alpha = 0.15 gate.
+
+Everything here is plain numpy on the CPU — retrieval sits on the loop-
+detection thread, off the TPU hot path, mirroring the reference's layering.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def hamming_to_centers(bits: np.ndarray, centers: np.ndarray) -> np.ndarray:
+  """(N, B) unpacked bits vs (K, B) unpacked centers -> (N, K) distances."""
+  # XOR-free: Hamming = sum(bits != center) = B - bits@c - (1-bits)@(1-c).
+  b = bits.astype(np.float32)
+  c = centers.astype(np.float32)
+  agree = b @ c.T + (1.0 - b) @ (1.0 - c.T)
+  return bits.shape[1] - agree
+
+
+def _kmedians(bits: np.ndarray, k: int, rng: np.random.Generator,
+              iters: int = 8) -> np.ndarray:
+  """Binary k-medians: majority-vote centroids under Hamming distance.
+  Returns (k', B) centers (k' <= k when there are few distinct points)."""
+  n = bits.shape[0]
+  if n <= k:
+    return np.unique(bits, axis=0)
+  centers = bits[rng.choice(n, size=k, replace=False)].copy()
+  for _ in range(iters):
+    d = hamming_to_centers(bits, centers)
+    assign = d.argmin(axis=1)
+    new_centers = []
+    for j in range(len(centers)):
+      members = bits[assign == j]
+      if len(members) == 0:
+        # Re-seed an empty cluster on the farthest point.
+        new_centers.append(bits[d.min(axis=1).argmax()])
+      else:
+        new_centers.append((members.mean(axis=0) >= 0.5).astype(np.uint8))
+    new_centers = np.stack(new_centers)
+    if np.array_equal(new_centers, centers):
+      break
+    centers = new_centers
+  return centers
+
+
+class BinaryVocabulary:
+  """Hierarchical k-medians tree over binary descriptors.
+
+  Nodes are stored flat: node i has centers ``self.centers[i]`` (K_i, B) and
+  children ``self.children[i]`` (list of node ids or leaf word ids as
+  negative numbers -(word+1)).
+  """
+
+  def __init__(self, branching: int = 10, depth: int = 3, seed: int = 0):
+    self.branching = branching
+    self.depth = depth
+    self.seed = seed
+    self.centers: List[np.ndarray] = []
+    self.children: List[List[int]] = []
+    self.num_words = 0
+    self.idf: Optional[np.ndarray] = None
+
+  def fit(self, descriptors: np.ndarray) -> "BinaryVocabulary":
+    """descriptors: (N, 32) uint8 packed."""
+    rng = np.random.default_rng(self.seed)
+    bits = np.unpackbits(descriptors, axis=1)
+    self.centers, self.children = [], []
+    self.num_words = 0
+    self._build(bits, self.depth, rng)
+    return self
+
+  def _build(self, bits: np.ndarray, depth: int,
+             rng: np.random.Generator) -> int:
+    """Returns the node id (>= 0) or leaf word encoding (< 0)."""
+    if depth == 0 or len(bits) <= self.branching:
+      word = self.num_words
+      self.num_words += 1
+      return -(word + 1)
+    centers = _kmedians(bits, self.branching, rng)
+    node = len(self.centers)
+    self.centers.append(centers)
+    self.children.append([])
+    assign = hamming_to_centers(bits, centers).argmin(axis=1)
+    kids = []
+    for j in range(len(centers)):
+      members = bits[assign == j]
+      if len(members) == 0:
+        word = self.num_words
+        self.num_words += 1
+        kids.append(-(word + 1))
+      else:
+        kids.append(self._build(members, depth - 1, rng))
+    self.children[node] = kids
+    return node
+
+  def transform(self, descriptors: np.ndarray) -> np.ndarray:
+    """(N, 32) packed -> (N,) word ids."""
+    if len(descriptors) == 0:
+      return np.zeros((0,), np.int32)
+    bits = np.unpackbits(descriptors, axis=1)
+    out = np.zeros(len(bits), np.int32)
+    # Iterative descent, processed in groups per node (vectorized within).
+    stack = [(0 if self.centers else -1, np.arange(len(bits)))]
+    if not self.centers:  # degenerate single-word vocabulary
+      return out
+    while stack:
+      node, idx = stack.pop()
+      centers = self.centers[node]
+      assign = hamming_to_centers(bits[idx], centers).argmin(axis=1)
+      for j, child in enumerate(self.children[node]):
+        sel = idx[assign == j]
+        if len(sel) == 0:
+          continue
+        if child < 0:
+          out[sel] = -(child + 1)
+        else:
+          stack.append((child, sel))
+    return out
+
+  def fit_idf(self, word_lists: List[np.ndarray]):
+    """Inverse document frequency from the database's word sets."""
+    df = np.zeros(self.num_words, np.float64)
+    for words in word_lists:
+      df[np.unique(words)] += 1.0
+    n = max(1, len(word_lists))
+    self.idf = np.log(n / np.maximum(df, 1.0)).astype(np.float32) + 1e-3
+
+  def bow_vector(self, words: np.ndarray) -> np.ndarray:
+    """L1-normalized TF-IDF histogram (W,) float32."""
+    v = np.bincount(words, minlength=self.num_words).astype(np.float32)
+    if self.idf is not None:
+      v = v * self.idf
+    s = v.sum()
+    return v / s if s > 0 else v
+
+
+def l1_score(v: np.ndarray, db: np.ndarray) -> np.ndarray:
+  """DBoW2 L1 similarity of query v (W,) against db rows (D, W): both
+  L1-normalized; s = 1 - 0.5*|v - w|_1 in [0, 1]."""
+  return 1.0 - 0.5 * np.abs(db - v[None, :]).sum(axis=1)

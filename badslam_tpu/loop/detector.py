@@ -58,6 +58,7 @@ class KeyframeEntry:
   depths: np.ndarray           # (N,) metric depth at the keypoint (0 invalid)
   descriptors: np.ndarray      # (N, 32) uint8 ORB descriptors
   signature: np.ndarray        # (32,) uint8 majority-vote global signature
+  bow: "np.ndarray | None" = None   # (W,) L1-normalized TF-IDF BoW vector
 
 
 @dataclasses.dataclass
@@ -81,7 +82,9 @@ class LoopDetector:
 
   def __init__(self, config, camera, min_match_count: int = 20,
                recent_exclude: int = 10, max_candidates: int = 8,
-               num_features: int = 500, parallel: bool = False):
+               num_features: int = 500, parallel: bool = False,
+               vocab_train_size: int = 30,
+               temporal_consistency: bool = True):
     import cv2
     self.config = config
     self.camera = camera
@@ -95,6 +98,17 @@ class LoopDetector:
     self.num_loops_closed = 0
     self.num_loops_ignored = 0
     self.events: List[LoopClosureEvent] = []
+
+    # BoW retrieval (DBoW2 mechanism; loop/bow.py): the vocabulary is trained
+    # online from the map's own descriptors once vocab_train_size keyframes
+    # exist; before that, the 256-bit signature prefilter serves the (small)
+    # database. DLoopDetector-style temporal consistency k=1: a detection is
+    # accepted only when the previous query's best match pointed at a nearby
+    # database entry (loop_detector.cc:150-179 parameter block).
+    self.vocab = None
+    self.vocab_train_size = max(2, vocab_train_size)
+    self.temporal_consistency = temporal_consistency
+    self._prev_best_db: Optional[int] = None
 
     # Parallel detection (loop_detector.h:162-166, DetectionThreadMain
     # loop_detector.cc): a dedicated thread runs feature extraction +
@@ -177,8 +191,36 @@ class LoopDetector:
 
   # --- retrieval ---
 
+  def _maybe_train_vocabulary(self):
+    """Online vocabulary training (called with the detector lock held): once
+    vocab_train_size keyframes exist, fit the hierarchical k-medians tree on
+    all database descriptors, fit IDF, and back-fill BoW vectors."""
+    if self.vocab is not None:
+      return
+    live = [e for e in self.entries if e is not None and len(e.descriptors)]
+    if len(live) < self.vocab_train_size:
+      return
+    from badslam_tpu.loop import bow
+    all_desc = np.concatenate([e.descriptors for e in live])
+    vocab = bow.BinaryVocabulary(branching=10, depth=3)
+    vocab.fit(all_desc)
+    word_lists = [vocab.transform(e.descriptors) for e in live]
+    vocab.fit_idf(word_lists)
+    for e, words in zip(live, word_lists):
+      e.bow = vocab.bow_vector(words)
+    self.vocab = vocab
+
+  def _bow_of(self, entry: KeyframeEntry) -> Optional[np.ndarray]:
+    if self.vocab is None or len(entry.descriptors) == 0:
+      return None
+    if entry.bow is None:
+      entry.bow = self.vocab.bow_vector(
+          self.vocab.transform(entry.descriptors))
+    return entry.bow
+
   def _detect(self, entry: KeyframeEntry) -> Tuple[Optional[int], int, list]:
     """Returns (matched database index or None, match count, matches)."""
+    self._maybe_train_vocabulary()
     usable = [
         (i, e) for i, e in enumerate(self.entries)
         if e is not None and len(e.descriptors) > 0
@@ -187,37 +229,63 @@ class LoopDetector:
     if not usable or len(entry.descriptors) == 0:
       return None, 0, []
 
-    # Stage 1: signature prefilter.
-    sigs = np.stack([e.signature for _, e in usable])
-    dist = _popcount_u8(sigs ^ entry.signature[None, :]).sum(axis=1)
-    order = np.argsort(dist)[: self.max_candidates]
-
-    # Normalizer: match count against the temporally-previous keyframe
-    # (DBoW2 normalized-similarity analog).
+    # Normalizer entry: the temporally-previous keyframe (DBoW2/DLoopDetector
+    # normalized similarity score).
     prev_entry = None
     for e in reversed(self.entries):
       if e is not None and len(e.descriptors) > 0:
         prev_entry = e
         break
-    norm_count = (self._match_count(entry, prev_entry)[0]
-                  if prev_entry is not None else self.min_match_count)
-    # DLoopDetector's LOW_NSS_FACTOR behavior: when the normalizing match
-    # (vs the temporal neighbor) is itself unreliable — e.g. motion blur —
-    # reject the query instead of loosening the gate.
-    if norm_count < max(5, self.min_match_count // 4):
-      return None, 0, []
 
+    if self.vocab is not None:
+      # Stage 1: BoW scoring over the whole database (vectorized L1).
+      from badslam_tpu.loop import bow
+      q = self._bow_of(entry)
+      db = np.stack([self._bow_of(e) for _, e in usable])
+      scores = bow.l1_score(q, db)
+      prev_bow = self._bow_of(prev_entry) if prev_entry is not None else None
+      norm_score = (float(bow.l1_score(q, prev_bow[None, :])[0])
+                    if prev_bow is not None else 1.0)
+      # DLoopDetector LOW_NSS_FACTOR: an unreliable normalizer (e.g. motion
+      # blur) rejects the query instead of loosening the gate.
+      if norm_score < 0.005:
+        self._prev_best_db = None
+        return None, 0, []
+      eta = scores / max(norm_score, 1e-6)
+      order = np.argsort(-eta)[: self.max_candidates]
+      best_db = usable[order[0]][0] if len(order) else None
+      candidates = [usable[oi] for oi in order if eta[oi] >= NSS_ALPHA]
+      # Temporal consistency k=1: the previous query's best match must point
+      # near this one's (same place revisited across consecutive queries).
+      consistent = (not self.temporal_consistency or
+                    (self._prev_best_db is not None and best_db is not None
+                     and abs(best_db - self._prev_best_db) <= 5))
+      self._prev_best_db = best_db
+      if not candidates or not consistent:
+        return None, 0, []
+    else:
+      # Small-database fallback: 256-bit signature prefilter.
+      sigs = np.stack([e.signature for _, e in usable])
+      dist = _popcount_u8(sigs ^ entry.signature[None, :]).sum(axis=1)
+      order = np.argsort(dist)[: self.max_candidates]
+      norm_count = (self._match_count(entry, prev_entry)[0]
+                    if prev_entry is not None else self.min_match_count)
+      if norm_count < max(5, self.min_match_count // 4):
+        return None, 0, []
+      candidates = [usable[oi] for oi in order]
+
+    # Stage 2: exact descriptor matching on the shortlisted candidates.
     best = (None, 0, [])
-    for oi in order:
-      i, cand = usable[oi]
+    for i, cand in candidates:
       count, matches = self._match_count(entry, cand)
       if count > best[1]:
         best = (i, count, matches)
     matched, count, matches = best
     if matched is None or count < self.min_match_count:
       return None, count, []
-    if count / norm_count < NSS_ALPHA:
-      return None, count, []
+    if self.vocab is None:
+      if count / norm_count < NSS_ALPHA:
+        return None, count, []
     return matched, count, matches
 
   def _match_count(self, a: KeyframeEntry, b: KeyframeEntry):

@@ -171,6 +171,7 @@ class BadSlam:
     self._ba_condition = threading.Condition(self._ba_lock)
     self._queued_keyframes: List[tuple] = []  # (processed, frame_idx, rel_T)
     self._parallel_iteration_queue: List[dict] = []
+    self._merge_requested = False  # watchdog merge, executed by the BA thread
     self._quit_requested = False
     self._ba_thread = None
     self._parallel = bool(config.parallel_ba and config.estimate_poses)
@@ -400,8 +401,22 @@ class BadSlam:
     free = limit - used
     if free < (self.config.min_free_gpu_memory_mb * 1024 * 1024
                + approx_keyframe_bytes):
-      with self._ba_lock:
-        deleted = self.direct_ba.merge_keyframes(self.loop_detector)
+      self.request_keyframe_merge()
+
+  def request_keyframe_merge(self):
+    """Memory-pressure keyframe merge. Map state (kf/surfel stores) has a
+    SINGLE writer: the BA thread in parallel mode (sequential mode: the main
+    thread). A merge from the watchdog must therefore be routed to the BA
+    thread — mutating self.direct_ba.kf concurrently with the BA scheme's
+    read-modify-write phases would silently lose one side's update (the
+    reference serializes the same way via ba_thread_mutex_ held across the
+    BA iteration, bad_slam.cc:1273-1289)."""
+    if self._parallel:
+      with self._ba_condition:
+        self._merge_requested = True
+        self._ba_condition.notify_all()
+    else:
+      deleted = self.direct_ba.merge_keyframes(self.loop_detector)
       if deleted:
         print(f"WARNING: low device memory; merged {deleted} keyframe(s)")
 
@@ -522,7 +537,14 @@ class BadSlam:
           return
         options = self._parallel_iteration_queue.pop(0)
         self._drain_keyframe_queue_locked()
+        merge_requested = self._merge_requested
+        self._merge_requested = False
         original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
+
+      if merge_requested:
+        deleted = self.direct_ba.merge_keyframes(self.loop_detector)
+        if deleted:
+          print(f"WARNING: low device memory; merged {deleted} keyframe(s)")
 
       # One BA iteration over all keyframes (the BA thread never uses
       # deactivation or PCG, bad_slam.cc:1268-1289).
