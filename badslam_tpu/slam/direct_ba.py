@@ -325,6 +325,10 @@ class DirectBA:
     self._kf_count_host = 0
     self._surfel_count_cache = (None, 0)
     self._surfel_watermark_cache = (None, 0)
+    # Host-side upper bound on the surfel watermark (see
+    # _ensure_surfel_capacity): re-synced to the true value whenever
+    # surfel_watermark is actually read.
+    self._watermark_bound = 0
     self._mesh_place()
     # --save_timings stream (direct_ba.h:382): per-BA-iteration stats lines.
     self.timings_stream = None
@@ -385,6 +389,7 @@ class DirectBA:
       return cached_val
     val = int(self.surfels.count)
     self._surfel_watermark_cache = (self.surfels.count, val)
+    self._watermark_bound = val
     return val
 
   def depth_camera(self) -> PinholeCamera:
@@ -418,13 +423,24 @@ class DirectBA:
     w, h = self.depth_size
     cell = self.cell_size
     headroom = (h // cell + 1) * (w // cell + 1)
-    # Appends land at the WATERMARK, so headroom must be measured from it.
-    while (self.surfel_watermark + headroom > self.surfels.capacity and
+    # Appends land at the WATERMARK. Use the host-side upper bound rather
+    # than reading the device count: on the axon TPU tunnel, ANY device->host
+    # transfer permanently drops the process out of speculative pipelined
+    # dispatch into ~1.5 ms-per-call sync mode (PERF.md "tunnel dispatch
+    # modes"), so the steady-state path must stay transfer-free. The bound
+    # only over-estimates; when it would trigger growth, re-sync it to the
+    # true device watermark first (one transfer, only on the rare growth
+    # path) so repeated creations cannot ratchet the store to max capacity.
+    if self._watermark_bound + headroom > self.surfels.capacity:
+      _ = self.surfel_watermark  # re-syncs _watermark_bound
+    while (self._watermark_bound + headroom > self.surfels.capacity and
            self.surfels.capacity < self.config.max_surfel_count):
       self.surfels = surfels_mod.grow(
           self.surfels,
           min(self.surfels.capacity * 2, self.config.max_surfel_count))
       self._mesh_place()
+    self._watermark_bound = min(self._watermark_bound + headroom,
+                                self.surfels.capacity)
 
   def get_min_observation_count(self) -> int:
     """Bootstrapping schedule (direct_ba.h:219-226)."""
