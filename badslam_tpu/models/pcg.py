@@ -1,26 +1,34 @@
 """Matrix-free preconditioned conjugate gradients for the joint BA system.
 
 Behavioral spec: /root/reference/applications/badslam/src/badslam/
-direct_ba_pcg.cc (algorithm derivation comment :62-119, solver loop
-:339-471, delta application :552-646) and kernel_pcg.cu (PCGInit r/M
-computation :180+, PCGStep1 g = J^T W (J p) + alpha_d :646+, PCGStep2 :1117,
-PCGStep3 :1212, kDiagEpsilon = 1e-8 LM-style diagonal :44).
+direct_ba_pcg.cc (algorithm derivation comment :62-119, unknown layout
+:240-307, solver loop :339-471, kDebugVerifyResult self-check :476-550,
+delta application :552-646) and kernel_pcg.cu (PCGInit r/M computation
+:180+, a-prior rows :587-591, PCGStep1 g = J^T W (J p) + alpha_d :646+,
+PCGStep2 :1117, PCGStep3 :1212, PCGDebugVerifyResult :1260,
+kDiagEpsilon = 1e-8 LM-style diagonal :44, kAPriorWeight = 10 :48).
 
-Unknowns (this implementation): 6 per keyframe pose (one keyframe fixed for
-gauge — the reference picks a random one per outer iteration,
-direct_ba_pcg.cc:318-337; we take an explicit index), 3 per surfel
-(position offset along normal, descriptor1, descriptor2). Intrinsics
-unknowns (4+1+cfactor, 4) are handled by the separate alternated intrinsics
-step (models/intrinsics_opt.py) rather than inside PCG.
+Unknowns: 6 per keyframe pose (one keyframe fixed for gauge — the
+reference picks a random one per outer iteration, direct_ba_pcg.cc:318-337;
+we take an explicit index), 3 per surfel (position offset along normal,
+descriptor1, descriptor2), and — when the respective static flags are on —
+5 depth-intrinsics unknowns (fx_inv, fy_inv, cx_inv, cy_inv, a), one
+cfactor unknown per sparsification cell, and 4 color-intrinsics unknowns
+(fx, fy, cx, cy), matching the reference's joint vector exactly. A weak
+prior with weight kAPriorWeight pulls the updated `a` toward zero
+(kernel_pcg.cu:587-591,1040).
 
 TPU-native design: the unknown vector is a pytree {poses (K,6), spos (N,),
-sdesc (N,2)}. One Hessian-vector product = one scan over keyframes of dense
-per-surfel math: Jp combines the pose block (6-dot) and surfel block
-(elementwise); J^T W Jp scatters back into pose rows (masked matmul, MXU)
-and surfel rows (elementwise adds). Under the surfel-sharded mesh the pose
+sdesc (N,2), dintr (5,), cfac (C,), cintr (4,)}. One Hessian-vector product
+= one scan over keyframes of dense per-surfel math: Jp combines the pose
+block (6-dot), surfel block (elementwise) and intrinsics blocks (5/4-dot +
+one cfactor gather); J^T W Jp scatters back into pose/intrinsics rows
+(masked matmuls, MXU), surfel rows (elementwise adds) and cfactor rows
+(segment_sum). Under the surfel-sharded mesh the pose and intrinsics
 reductions are psum'd and the surfel parts stay local — the only
-cross-shard traffic is (K,6)-sized, exactly the property that makes PCG the
-distributed formulation of choice (SURVEY.md §5 long-context note).
+cross-shard traffic is (K,6)+(5,)+(C,)+(4,)-sized, exactly the property
+that makes PCG the distributed formulation of choice (SURVEY.md §5
+long-context note).
 """
 
 from __future__ import annotations
@@ -38,42 +46,56 @@ from badslam_tpu.models.association import DepthParamsArrays
 from badslam_tpu.models.keyframes import KeyframeStore
 from badslam_tpu.models.surfels import SurfelStore
 
-DIAG_EPSILON = 1e-8  # kDiagEpsilon (kernel_pcg.cu:44)
+DIAG_EPSILON = 1e-8     # kDiagEpsilon (kernel_pcg.cu:44)
+A_PRIOR_WEIGHT = 10.0   # kAPriorWeight (kernel_pcg.cu:48)
+N_DINTR = 5             # fx_inv, fy_inv, cx_inv, cy_inv, a
+N_CINTR = 4             # fx, fy, cx, cy
 
 
 class PCGVector(NamedTuple):
-  """The unknown/residual vector layout."""
+  """The unknown/residual vector layout.
+
+  poses/dintr/cfac/cintr are REPLICATED blocks under the surfel-sharded
+  mesh; spos/sdesc are sharded along the surfel axis.
+  """
   poses: jax.Array   # (K, 6)
   spos: jax.Array    # (N,)  position offset along the surfel normal
   sdesc: jax.Array   # (N, 2)
+  dintr: jax.Array   # (5,)  depth fx_inv, fy_inv, cx_inv, cy_inv, a
+  cfac: jax.Array    # (C,)  flattened per-cell cfactor deltas
+  cintr: jax.Array   # (4,)  color fx, fy, cx, cy
 
   def __add__(self, other):
-    return PCGVector(self.poses + other.poses, self.spos + other.spos,
-                     self.sdesc + other.sdesc)
+    return PCGVector(*(a + b for a, b in zip(self, other)))
 
   def __sub__(self, other):
-    return PCGVector(self.poses - other.poses, self.spos - other.spos,
-                     self.sdesc - other.sdesc)
+    return PCGVector(*(a - b for a, b in zip(self, other)))
 
   def scale(self, s):
-    return PCGVector(s * self.poses, s * self.spos, s * self.sdesc)
+    return PCGVector(*(s * a for a in self))
 
   def mul(self, other):
-    return PCGVector(self.poses * other.poses, self.spos * other.spos,
-                     self.sdesc * other.sdesc)
+    return PCGVector(*(a * b for a, b in zip(self, other)))
 
   def dot(self, other, axis_name: Optional[str] = None):
+    # Sharded blocks first (psum'd); replicated blocks added locally after.
     d = (jnp.sum(self.spos * other.spos)
          + jnp.sum(self.sdesc * other.sdesc))
     if axis_name is not None:
       d = jax.lax.psum(d, axis_name)
-    return d + jnp.sum(self.poses * other.poses)
+    return (d + jnp.sum(self.poses * other.poses)
+            + jnp.sum(self.dintr * other.dintr)
+            + jnp.sum(self.cfac * other.cfac)
+            + jnp.sum(self.cintr * other.cintr))
 
 
-def zeros_like_vec(k: int, n: int) -> PCGVector:
+def zeros_like_vec(k: int, n: int, c: int = 1) -> PCGVector:
   return PCGVector(jnp.zeros((k, 6), jnp.float32),
                    jnp.zeros((n,), jnp.float32),
-                   jnp.zeros((n, 2), jnp.float32))
+                   jnp.zeros((n, 2), jnp.float32),
+                   jnp.zeros((N_DINTR,), jnp.float32),
+                   jnp.zeros((c,), jnp.float32),
+                   jnp.zeros((N_CINTR,), jnp.float32))
 
 
 class _Terms(NamedTuple):
@@ -93,6 +115,13 @@ class _Terms(NamedTuple):
   J1s: jax.Array        # (N,)
   J2s: jax.Array
   # descriptor jacobian wrt own descriptor channel is the constant -1.
+  # Intrinsics blocks (zero-size placeholders unless enabled):
+  dimask: jax.Array     # (N,) depth-intrinsics-valid mask
+  Jdi: jax.Array        # (N, 5) depth residual wrt [fx_inv..cy_inv, a]
+  jcf: jax.Array        # (N,)  depth residual wrt this pixel's cfactor cell
+  cell_id: jax.Array    # (N,) int32 flattened cfactor cell index
+  J1c: jax.Array        # (N, 4) descriptor-1 residual wrt color intrinsics
+  J2c: jax.Array        # (N, 4)
 
 
 def _compute_terms(
@@ -102,6 +131,7 @@ def _compute_terms(
     depth_cam: PinholeCamera, color_cam: PinholeCamera,
     dp: DepthParamsArrays,
     use_depth_residuals: bool, use_descriptor_residuals: bool,
+    opt_dintr: bool = False, opt_cintr: bool = False,
 ) -> _Terms:
   n = surfels.capacity
   frame_T_global = se3.inverse(global_T_frame)
@@ -109,14 +139,19 @@ def _compute_terms(
       surfels.pos, surfels.normal, surfels.valid & surfels.active,
       frame_T_global, kf_depth, kf_normals, depth_cam, dp)
   z = jnp.zeros((n,), jnp.float32)
+  z4 = jnp.zeros((n, 4), jnp.float32)
+  z5 = jnp.zeros((n, 5), jnp.float32)
   z6 = jnp.zeros((n, 6), jnp.float32)
+  zi = jnp.zeros((n,), jnp.int32)
   terms = _Terms(assoc.mask, jnp.zeros_like(assoc.mask), z, z, z6, z,
-                 z, z, z, z, z6, z6, z, z)
+                 z, z, z, z, z6, z6, z, z,
+                 jnp.zeros_like(assoc.mask), z5, z, zi, z4, z4)
+
+  px_f = assoc.px.astype(jnp.float32)
+  py_f = assoc.py.astype(jnp.float32)
 
   if use_depth_residuals:
-    unproj = depth_cam.unproject_center(
-        assoc.px.astype(jnp.float32), assoc.py.astype(jnp.float32),
-        assoc.calibrated_depth)
+    unproj = depth_cam.unproject_center(px_f, py_f, assoc.calibrated_depth)
     r = cost.raw_depth_residual(
         unproj, assoc.local_pos, assoc.local_normal, assoc.inv_stddev)
     w = cost.depth_weight(r)
@@ -124,6 +159,40 @@ def _compute_terms(
         unproj, assoc.local_normal, assoc.inv_stddev)
     Js = -assoc.inv_stddev
     terms = terms._replace(depth_r=r, depth_w=w, depth_Jp=Jp, depth_Js=Js)
+
+    if opt_dintr:
+      # Depth-intrinsics jacobian rows — same math as the alternated Schur
+      # step (models/intrinsics_opt.py:92-125; behavioral spec
+      # kernel_opt_intrinsics.cu:47-200 == the PCGInit rows of
+      # kernel_pcg.cu:180+).
+      from badslam_tpu.ops.interp import gather_image as _gi
+      raw_depth = _gi(kf_depth, assoc.py, assoc.px)
+      raw_inv = 1.0 / jnp.maximum(raw_depth, 1e-12)
+      hc, wc = dp.cfactor.shape
+      cell_x = assoc.px // dp.cell_size
+      cell_y = assoc.py // dp.cell_size
+      cell_id = cell_y * wc + cell_x
+      cfac = _gi(dp.cfactor, cell_y, cell_x)
+      exp_inv = jnp.exp(-dp.a * raw_inv)
+      corrected_inv = cfac * exp_inv + raw_inv
+      dimask = assoc.mask & (jnp.abs(corrected_inv) > 1e-4)
+
+      ln = assoc.local_normal
+      nx = depth_cam.nx(px_f)
+      ny = depth_cam.ny(py_f)
+      dot = ln[:, 0] * nx + ln[:, 1] * ny + ln[:, 2]
+      jac_base = assoc.inv_stddev * dot * exp_inv / jnp.maximum(
+          corrected_inv * corrected_inv, 1e-20)
+      R = frame_T_global[0:3, 0:3]
+      gn = surfels.normal
+      j_cx = assoc.inv_stddev * assoc.calibrated_depth * (gn @ R[0, :])
+      j_cy = assoc.inv_stddev * assoc.calibrated_depth * (gn @ R[1, :])
+      j_fx = px_f * j_cx
+      j_fy = py_f * j_cy
+      j_a = cfac * raw_inv * jac_base
+      Jdi = jnp.stack([j_fx, j_fy, j_cx, j_cy, j_a], axis=-1)
+      terms = terms._replace(dimask=dimask, Jdi=Jdi, jcf=-jac_base,
+                             cell_id=cell_id)
 
   if use_descriptor_residuals:
     d2c = DepthToColorTransform.between(depth_cam, color_cam)
@@ -149,18 +218,31 @@ def _compute_terms(
         dmask=dmask, r1=r1, w1=cost.descriptor_weight(r1),
         r2=r2, w2=cost.descriptor_weight(r2),
         J1p=J1p, J2p=J2p, J1s=J1s, J2s=J2s)
+
+    if opt_cintr:
+      # Color-intrinsics jacobian approximation J = [gx*nx, gy*ny, gx, gy]
+      # (intrinsics_opt.py:140-154; kernel_opt_intrinsics.cu descriptor
+      # rows), with nx/ny the normalized depth-pixel coordinates.
+      nx = depth_cam.nx(px_f)
+      ny = depth_cam.ny(py_f)
+      J1c = jnp.stack([gx1 * nx, gy1 * ny, gx1, gy1], axis=-1)
+      J2c = jnp.stack([gx2 * nx, gy2 * ny, gx2, gy2], axis=-1)
+      terms = terms._replace(J1c=J1c, J2c=J2c)
+
   return terms
 
 
 def _scan_keyframes(surfels, kf, depth_cam, color_cam, dp,
-                    use_depth, use_desc, body, init):
+                    use_depth, use_desc, body, init,
+                    opt_dintr=False, opt_cintr=False):
   """Shared scan over the keyframe stack; body(carry, k_index, terms,
   kf_active)."""
 
   def scan_body(carry, inputs):
     k_index, depth, normals, intensity, T, valid, activation = inputs
     terms = _compute_terms(surfels, T, depth, normals, intensity,
-                           depth_cam, color_cam, dp, use_depth, use_desc)
+                           depth_cam, color_cam, dp, use_depth, use_desc,
+                           opt_dintr, opt_cintr)
     kf_ok = valid & (activation >= 1)
     return body(carry, k_index, terms, kf_ok), None
 
@@ -177,12 +259,26 @@ def _masked(x, m):
   return jnp.where(m, x, 0.0)
 
 
+def _num_cells(dp: DepthParamsArrays) -> int:
+  return dp.cfactor.shape[0] * dp.cfactor.shape[1]
+
+
+def _segsum(vals, seg, num_cells):
+  return jax.ops.segment_sum(vals, seg, num_segments=num_cells + 1)[:num_cells]
+
+
 def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
              use_depth=True, use_desc=True,
-             axis_name: Optional[str] = None) -> Tuple[PCGVector, PCGVector]:
+             axis_name: Optional[str] = None,
+             opt_dintr: bool = False, opt_cintr: bool = False,
+             ) -> Tuple[PCGVector, PCGVector]:
   """r = -J^T W F and Jacobi preconditioner M = diag(J^T W J) + eps
-  (PCGInitCUDAKernel, kernel_pcg.cu:180+)."""
+  (PCGInitCUDAKernel, kernel_pcg.cu:180+), including the a-prior rows
+  (kernel_pcg.cu:587-591)."""
   k, n = kf.capacity, surfels.capacity
+  c = _num_cells(dp)
+  opt_dintr = opt_dintr and use_depth
+  opt_cintr = opt_cintr and use_desc
 
   def body(carry, k_index, t: _Terms, kf_ok):
     r, M = carry
@@ -191,8 +287,8 @@ def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
 
     # depth residual
     wd = _masked(t.depth_w, m)
-    rp = -(jnp.where(m[:, None], t.depth_Jp, 0.0).T
-           @ (wd * _masked(t.depth_r, m)))
+    wr = wd * _masked(t.depth_r, m)
+    rp = -(jnp.where(m[:, None], t.depth_Jp, 0.0).T @ wr)
     Mp = (jnp.where(m[:, None], t.depth_Jp, 0.0) ** 2
           * wd[:, None]).sum(axis=0)
     rs = -(wd * _masked(t.depth_Js, m) * _masked(t.depth_r, m))
@@ -222,14 +318,46 @@ def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
         poses=M.poses.at[k_index].add(Mp),
         spos=M.spos + Ms,
         sdesc=M.sdesc + jnp.stack([Md1, Md2], axis=-1))
+
+    if opt_dintr:
+      dim = t.dimask & kf_ok
+      wdi = _masked(t.depth_w, dim)
+      wri = wdi * _masked(t.depth_r, dim)
+      Jdim = jnp.where(dim[:, None], t.Jdi, 0.0)
+      jcfm = _masked(t.jcf, dim)
+      seg = jnp.where(dim, t.cell_id, c)
+      r = r._replace(
+          dintr=r.dintr - Jdim.T @ wri,
+          cfac=r.cfac - _segsum(jcfm * wri, seg, c))
+      M = M._replace(
+          dintr=M.dintr + (Jdim ** 2 * wdi[:, None]).sum(axis=0),
+          cfac=M.cfac + _segsum(wdi * jcfm * jcfm, seg, c))
+
+    if opt_cintr:
+      J1cm = jnp.where(dm[:, None], t.J1c, 0.0)
+      J2cm = jnp.where(dm[:, None], t.J2c, 0.0)
+      r = r._replace(cintr=r.cintr
+                     - J1cm.T @ (w1 * _masked(t.r1, dm))
+                     - J2cm.T @ (w2 * _masked(t.r2, dm)))
+      M = M._replace(cintr=M.cintr
+                     + (J1cm ** 2 * w1[:, None]).sum(axis=0)
+                     + (J2cm ** 2 * w2[:, None]).sum(axis=0))
     return (r, M)
 
   r, M = _scan_keyframes(surfels, kf, depth_cam, color_cam, dp,
                          use_depth, use_desc, body,
-                         (zeros_like_vec(k, n), zeros_like_vec(k, n)))
+                         (zeros_like_vec(k, n, c), zeros_like_vec(k, n, c)),
+                         opt_dintr, opt_cintr)
   if axis_name is not None:
-    r = r._replace(poses=jax.lax.psum(r.poses, axis_name))
-    M = M._replace(poses=jax.lax.psum(M.poses, axis_name))
+    # Replicated blocks were accumulated from shard-local surfels only.
+    r = r._replace(poses=jax.lax.psum(r.poses, axis_name),
+                   dintr=jax.lax.psum(r.dintr, axis_name),
+                   cfac=jax.lax.psum(r.cfac, axis_name),
+                   cintr=jax.lax.psum(r.cintr, axis_name))
+    M = M._replace(poses=jax.lax.psum(M.poses, axis_name),
+                   dintr=jax.lax.psum(M.dintr, axis_name),
+                   cfac=jax.lax.psum(M.cfac, axis_name),
+                   cintr=jax.lax.psum(M.cintr, axis_name))
   # Gauge fixing: zero the fixed keyframe's rows; unit preconditioner there.
   gauge_mask = (jnp.arange(k) == gauge_index)[:, None]
   r = r._replace(poses=jnp.where(gauge_mask, 0.0, r.poses))
@@ -237,16 +365,43 @@ def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
       poses=jnp.where(gauge_mask, 1.0, M.poses + DIAG_EPSILON),
       spos=M.spos + DIAG_EPSILON,
       sdesc=M.sdesc + DIAG_EPSILON)
+  if opt_dintr:
+    # Weak prior on a: residual kAPriorWeight*(a + delta_a) -> adds -w^2*a to
+    # r and w^2 to M on the a row (kernel_pcg.cu:587-591).
+    w2a = A_PRIOR_WEIGHT * A_PRIOR_WEIGHT
+    r = r._replace(dintr=r.dintr.at[4].add(-w2a * dp.a))
+    M = M._replace(dintr=M.dintr.at[4].add(w2a) + DIAG_EPSILON,
+                   cfac=M.cfac + DIAG_EPSILON)
+  else:
+    r = r._replace(dintr=jnp.zeros_like(r.dintr),
+                   cfac=jnp.zeros_like(r.cfac))
+    M = M._replace(dintr=jnp.ones_like(M.dintr), cfac=jnp.ones_like(M.cfac))
+  if opt_cintr:
+    M = M._replace(cintr=M.cintr + DIAG_EPSILON)
+  else:
+    r = r._replace(cintr=jnp.zeros_like(r.cintr))
+    M = M._replace(cintr=jnp.ones_like(M.cintr))
   return r, M
 
 
 def apply_hessian(p: PCGVector, surfels, kf, depth_cam, color_cam, dp,
                   gauge_index, use_depth=True, use_desc=True,
-                  axis_name: Optional[str] = None) -> PCGVector:
-  """g = (J^T W J + eps I) p, matrix-free (PCGStep1, kernel_pcg.cu:646+)."""
+                  axis_name: Optional[str] = None,
+                  opt_dintr: bool = False, opt_cintr: bool = False,
+                  ) -> PCGVector:
+  """g = (J^T W J + eps I) p, matrix-free (PCGStep1, kernel_pcg.cu:646+),
+  including the a-prior term on the a row (kernel_pcg.cu:1040)."""
   k, n = kf.capacity, surfels.capacity
+  c = _num_cells(dp)
+  opt_dintr = opt_dintr and use_depth
+  opt_cintr = opt_cintr and use_desc
   gauge_mask = (jnp.arange(k) == gauge_index)[:, None]
   p = p._replace(poses=jnp.where(gauge_mask, 0.0, p.poses))
+  if not opt_dintr:
+    p = p._replace(dintr=jnp.zeros_like(p.dintr),
+                   cfac=jnp.zeros_like(p.cfac))
+  if not opt_cintr:
+    p = p._replace(cintr=jnp.zeros_like(p.cintr))
 
   def body(g, k_index, t: _Terms, kf_ok):
     m = t.mask & kf_ok
@@ -261,29 +416,65 @@ def apply_hessian(p: PCGVector, surfels, kf, depth_cam, color_cam, dp,
       d_pose = Jp6m.T @ wJp
       d_spos = Jsm * wJp
       d_extra = -wJp if extra_is_desc else None
-      return d_pose, d_spos, d_extra
+      return d_pose, d_spos, d_extra, wJp
 
-    dp_, ds_, _ = contrib(t.depth_Jp, t.depth_Js, t.depth_w, m,
-                          jnp.zeros((n,)), False)
-    d1p, d1s, d1d = contrib(t.J1p, t.J1s, t.w1, dm, -p.sdesc[:, 0], True)
-    d2p, d2s, d2d = contrib(t.J2p, t.J2s, t.w2, dm, -p.sdesc[:, 1], True)
+    # Depth residual: its row may also involve the intrinsics columns.
+    if opt_dintr:
+      dim = t.dimask & kf_ok
+      Jdim = jnp.where(dim[:, None], t.Jdi, 0.0)
+      jcfm = _masked(t.jcf, dim)
+      p_depth_extra = Jdim @ p.dintr + jcfm * p.cfac[t.cell_id]
+    else:
+      p_depth_extra = jnp.zeros((n,))
+    dp_, ds_, _, wJpd = contrib(t.depth_Jp, t.depth_Js, t.depth_w, m,
+                                p_depth_extra, False)
+
+    # Descriptor residuals: rows may involve the color-intrinsics columns.
+    if opt_cintr:
+      p_c1 = jnp.where(dm[:, None], t.J1c, 0.0) @ p.cintr
+      p_c2 = jnp.where(dm[:, None], t.J2c, 0.0) @ p.cintr
+    else:
+      p_c1 = p_c2 = jnp.zeros((n,))
+    d1p, d1s, d1d, wJp1 = contrib(t.J1p, t.J1s, t.w1, dm,
+                                  -p.sdesc[:, 0] + p_c1, True)
+    d2p, d2s, d2d, wJp2 = contrib(t.J2p, t.J2s, t.w2, dm,
+                                  -p.sdesc[:, 1] + p_c2, True)
 
     g = g._replace(
         poses=g.poses.at[k_index].add(dp_ + d1p + d2p),
         spos=g.spos + ds_ + d1s + d2s,
         sdesc=g.sdesc + jnp.stack([_masked(d1d, dm), _masked(d2d, dm)],
                                   axis=-1))
+    if opt_dintr:
+      seg = jnp.where(dim, t.cell_id, c)
+      g = g._replace(dintr=g.dintr + Jdim.T @ wJpd,
+                     cfac=g.cfac + _segsum(jcfm * wJpd, seg, c))
+    if opt_cintr:
+      g = g._replace(cintr=g.cintr
+                     + jnp.where(dm[:, None], t.J1c, 0.0).T @ wJp1
+                     + jnp.where(dm[:, None], t.J2c, 0.0).T @ wJp2)
     return g
 
   g = _scan_keyframes(surfels, kf, depth_cam, color_cam, dp,
-                      use_depth, use_desc, body, zeros_like_vec(k, n))
+                      use_depth, use_desc, body, zeros_like_vec(k, n, c),
+                      opt_dintr, opt_cintr)
   if axis_name is not None:
-    g = g._replace(poses=jax.lax.psum(g.poses, axis_name))
+    g = g._replace(poses=jax.lax.psum(g.poses, axis_name),
+                   dintr=jax.lax.psum(g.dintr, axis_name),
+                   cfac=jax.lax.psum(g.cfac, axis_name),
+                   cintr=jax.lax.psum(g.cintr, axis_name))
   g = g._replace(poses=jnp.where(gauge_mask, p.poses, g.poses))
-  return PCGVector(
+  g = PCGVector(
       poses=g.poses + DIAG_EPSILON * p.poses,
       spos=g.spos + DIAG_EPSILON * p.spos,
-      sdesc=g.sdesc + DIAG_EPSILON * p.sdesc)
+      sdesc=g.sdesc + DIAG_EPSILON * p.sdesc,
+      dintr=g.dintr + DIAG_EPSILON * p.dintr,
+      cfac=g.cfac + DIAG_EPSILON * p.cfac,
+      cintr=g.cintr + DIAG_EPSILON * p.cintr)
+  if opt_dintr:
+    w2a = A_PRIOR_WEIGHT * A_PRIOR_WEIGHT
+    g = g._replace(dintr=g.dintr.at[4].add(w2a * p.dintr[4]))
+  return g
 
 
 def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
@@ -291,22 +482,24 @@ def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
               dp: DepthParamsArrays, gauge_index,
               max_inner_iterations: int = 30,
               use_depth: bool = True, use_desc: bool = True,
-              axis_name: Optional[str] = None) -> PCGVector:
+              axis_name: Optional[str] = None,
+              opt_dintr: bool = False, opt_cintr: bool = False) -> PCGVector:
   """Full PCG solve: returns the GN update delta (to be applied negatively
   per our J convention matching the alternating path)."""
   r0, M = pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
-                   use_depth, use_desc, axis_name)
-  M_inv = PCGVector(1.0 / M.poses, 1.0 / M.spos, 1.0 / M.sdesc)
+                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr)
+  M_inv = PCGVector(*(1.0 / m for m in M))
 
   def hvp(p):
     return apply_hessian(p, surfels, kf, depth_cam, color_cam, dp,
-                         gauge_index, use_depth, use_desc, axis_name)
+                         gauge_index, use_depth, use_desc, axis_name,
+                         opt_dintr, opt_cintr)
 
-  delta0 = zeros_like_vec(kf.capacity, surfels.capacity)
+  delta0 = zeros_like_vec(kf.capacity, surfels.capacity, _num_cells(dp))
   g0 = M_inv.mul(r0)
   p0 = g0
   # PCGVector.dot psums the (sharded) surfel parts when axis_name is set;
-  # pose parts are replicated, so they are summed locally only.
+  # pose/intrinsics parts are replicated, so they are summed locally only.
   alpha_n0 = r0.dot(g0, axis_name=axis_name)
 
   def cond(state):
@@ -333,6 +526,41 @@ def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
   return delta
 
 
+def debug_verify_result(delta: PCGVector, surfels, kf, depth_cam, color_cam,
+                        dp, gauge_index, use_depth=True, use_desc=True,
+                        axis_name: Optional[str] = None,
+                        opt_dintr: bool = False, opt_cintr: bool = False):
+  """kDebugVerifyResult self-check (direct_ba_pcg.cc:476-550,
+  kernel_pcg.cu:1260-1276): recompute r0 and (J^T W J + eps I) delta and
+  return the max-abs residual of the normal equations, plus ||r0||_inf for
+  scale. An exact solve gives 0; a converged PCG gives a value small
+  relative to ||r0||_inf."""
+  r0, _ = pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
+                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr)
+  hd = apply_hessian(delta, surfels, kf, depth_cam, color_cam, dp,
+                     gauge_index, use_depth, use_desc, axis_name,
+                     opt_dintr, opt_cintr)
+  diff = hd - r0
+  err = jnp.maximum(
+      jnp.max(jnp.abs(diff.spos)),
+      jnp.maximum(jnp.max(jnp.abs(diff.sdesc)),
+                  jnp.max(jnp.abs(diff.poses))))
+  scale = jnp.maximum(
+      jnp.max(jnp.abs(r0.spos)),
+      jnp.maximum(jnp.max(jnp.abs(r0.sdesc)), jnp.max(jnp.abs(r0.poses))))
+  if opt_dintr:
+    err = jnp.maximum(err, jnp.max(jnp.abs(diff.dintr)))
+    err = jnp.maximum(err, jnp.max(jnp.abs(diff.cfac)))
+    scale = jnp.maximum(scale, jnp.max(jnp.abs(r0.dintr)))
+  if opt_cintr:
+    err = jnp.maximum(err, jnp.max(jnp.abs(diff.cintr)))
+    scale = jnp.maximum(scale, jnp.max(jnp.abs(r0.cintr)))
+  if axis_name is not None:
+    err = jax.lax.pmax(err, axis_name)
+    scale = jax.lax.pmax(scale, axis_name)
+  return err, scale
+
+
 def apply_pcg_delta(surfels: SurfelStore, kf: KeyframeStore,
                     delta: PCGVector) -> Tuple[SurfelStore, KeyframeStore]:
   """Apply the GN update (direct_ba_pcg.cc:552-646).
@@ -352,3 +580,32 @@ def apply_pcg_delta(surfels: SurfelStore, kf: KeyframeStore,
   new_desc = jnp.clip(surfels.desc + xd, -180.0, 180.0)
   return (surfels._replace(pos=new_pos, desc=new_desc),
           kf._replace(global_T_frame=T_new))
+
+
+def apply_pcg_delta_intrinsics(
+    depth_intr, color_intr, a, cfactor, delta: PCGVector,
+    opt_dintr: bool, opt_cintr: bool):
+  """Apply the intrinsics part of the joint delta (direct_ba_pcg.cc:588-645):
+  depth intrinsics additively on the INVERSE parameters (with the reference's
+  +0.5 pixel-corner convention shift), a and cfactor and color intrinsics
+  additively."""
+  new_depth_intr, new_a, new_cfactor = depth_intr, a, cfactor
+  if opt_dintr:
+    d = jnp.where(jnp.isfinite(delta.dintr), delta.dintr, 0.0)
+    fx_inv = 1.0 / depth_intr[0]
+    fy_inv = 1.0 / depth_intr[1]
+    cx_inv = -(depth_intr[2] - 0.5) * fx_inv
+    cy_inv = -(depth_intr[3] - 0.5) * fy_inv
+    new_fx = 1.0 / (fx_inv + d[0])
+    new_fy = 1.0 / (fy_inv + d[1])
+    new_cx = -(new_fx * (cx_inv + d[2])) + 0.5
+    new_cy = -(new_fy * (cy_inv + d[3])) + 0.5
+    new_depth_intr = jnp.stack([new_fx, new_fy, new_cx, new_cy])
+    new_a = a + d[4]
+    dc = jnp.where(jnp.isfinite(delta.cfac), delta.cfac, 0.0)
+    new_cfactor = cfactor + dc.reshape(cfactor.shape)
+  new_color_intr = color_intr
+  if opt_cintr:
+    dc = jnp.where(jnp.isfinite(delta.cintr), delta.cintr, 0.0)
+    new_color_intr = color_intr + dc
+  return new_depth_intr, new_color_intr, new_a, new_cfactor

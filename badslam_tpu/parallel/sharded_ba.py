@@ -298,19 +298,28 @@ def make_sharded_pcg_step(
     use_depth_residuals: bool = True,
     use_descriptor_residuals: bool = True,
     max_inner_iterations: int = 30,
+    opt_dintr: bool = False,
+    opt_cintr: bool = False,
 ):
   """Distributed joint-GN step: one matrix-free PCG solve with the surfel
   axis sharded over the mesh. Cross-shard traffic per CG iteration is one
-  psum of (K,6) pose blocks plus three scalar dot products — the PCG path is
-  the natural distributed BA formulation (SURVEY.md §5).
+  psum of (K,6) pose blocks (plus (5,)+(C,)+(4,) intrinsics blocks when the
+  opt_* flags fold those unknowns into the joint vector,
+  direct_ba_pcg.cc:240-307) plus three scalar dot products — the PCG path
+  is the natural distributed BA formulation (SURVEY.md §5).
 
   Returns jitted (surfels [sharded], kf [replicated], a, cfactor,
-  baseline_fx, gauge_index) -> (surfels', kf', max_pose_update).
+  baseline_fx, gauge_index)
+    -> (surfels', kf', max_pose_update) without intrinsics flags, or
+    -> (surfels', kf', depth_intr', color_intr', a', cfactor',
+        max_pose_update) with either flag set (depth_intr/color_intr are
+        taken from the closed-over cameras).
   """
   from badslam_tpu.models import pcg as pcg_mod
 
   kf_spec = jax.tree.map(lambda _: P(), KeyframeStore(*KeyframeStore._fields))
   surfel_spec = _surfel_specs()
+  with_intrinsics = opt_dintr or opt_cintr
 
   def step(surfels: SurfelStore, kf: KeyframeStore, a, cfactor, baseline_fx,
            gauge_index):
@@ -319,16 +328,26 @@ def make_sharded_pcg_step(
     delta = pcg_mod.pcg_solve(
         surfels, kf, depth_cam, color_cam, dp, gauge_index,
         max_inner_iterations, use_depth_residuals, use_descriptor_residuals,
-        axis_name=SURFEL_AXIS)
+        axis_name=SURFEL_AXIS, opt_dintr=opt_dintr, opt_cintr=opt_cintr)
     surfels, kf = pcg_mod.apply_pcg_delta(surfels, kf, delta)
     pose_update = jnp.max(
         jnp.where(kf.valid[:, None], jnp.abs(delta.poses), 0.0))
-    return surfels, kf, pose_update
+    if not with_intrinsics:
+      return surfels, kf, pose_update
+    depth_intr = jnp.asarray(
+        [depth_cam.fx, depth_cam.fy, depth_cam.cx, depth_cam.cy], jnp.float32)
+    color_intr = jnp.asarray(
+        [color_cam.fx, color_cam.fy, color_cam.cx, color_cam.cy], jnp.float32)
+    di, ci, a2, cf2 = pcg_mod.apply_pcg_delta_intrinsics(
+        depth_intr, color_intr, a, cfactor, delta, opt_dintr, opt_cintr)
+    return surfels, kf, di, ci, a2, cf2, pose_update
 
+  out_specs = ((surfel_spec, kf_spec, P(), P(), P(), P(), P())
+               if with_intrinsics else (surfel_spec, kf_spec, P()))
   sharded = shard_map(
       step, mesh=mesh,
       in_specs=(surfel_spec, kf_spec, P(), P(), P(), P()),
-      out_specs=(surfel_spec, kf_spec, P()),
+      out_specs=out_specs,
       check_vma=False,
   )
   return jax.jit(sharded)

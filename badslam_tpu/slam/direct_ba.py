@@ -225,18 +225,21 @@ def _pose_optimization_jit(
     jax.jit,
     static_argnames=("dwidth", "dheight", "cwidth", "cheight", "cell_size",
                      "use_depth_residuals", "use_descriptor_residuals",
-                     "max_inner_iterations"))
+                     "max_inner_iterations", "opt_dintr", "opt_cintr"))
 def _pcg_iteration_jit(
     surfels: SurfelStore, kf: KeyframeStore,
     depth_intr, color_intr, a, cfactor, baseline_fx, gauge_index,
     dwidth: int, dheight: int, cwidth: int, cheight: int, cell_size: int,
     use_depth_residuals: bool, use_descriptor_residuals: bool,
     max_inner_iterations: int,
+    opt_dintr: bool = False, opt_cintr: bool = False,
 ):
   """One joint GN step via matrix-free PCG (BundleAdjustmentPCG inner work,
-  direct_ba_pcg.cc:339-471), followed by the PCG path's separate normal
+  direct_ba_pcg.cc:339-471) over poses + surfels (+ intrinsics when the
+  opt_* flags are set — the unknowns fold into the joint vector exactly as
+  direct_ba_pcg.cc:240-307), followed by the PCG path's separate normal
   re-estimation (kernel_opt_geometry.cu:527+). Returns
-  (surfels, kf, max pose-update norm)."""
+  (surfels, kf, depth_intr, color_intr, a, cfactor, max pose-update norm)."""
   from badslam_tpu.models import pcg as pcg_mod
   depth_cam = make_camera(depth_intr, dwidth, dheight)
   color_cam = make_camera(color_intr, cwidth, cheight)
@@ -244,12 +247,15 @@ def _pcg_iteration_jit(
                          cell_size=cell_size)
   delta = pcg_mod.pcg_solve(
       surfels, kf, depth_cam, color_cam, dp, gauge_index,
-      max_inner_iterations, use_depth_residuals, use_descriptor_residuals)
+      max_inner_iterations, use_depth_residuals, use_descriptor_residuals,
+      opt_dintr=opt_dintr, opt_cintr=opt_cintr)
   surfels, kf = pcg_mod.apply_pcg_delta(surfels, kf, delta)
+  depth_intr, color_intr, a, cfactor = pcg_mod.apply_pcg_delta_intrinsics(
+      depth_intr, color_intr, a, cfactor, delta, opt_dintr, opt_cintr)
   surfels = geometry_opt.reestimate_normals(surfels, kf, depth_cam, dp)
   pose_update = jnp.max(
       jnp.where(kf.valid[:, None], jnp.abs(delta.poses), 0.0))
-  return surfels, kf, pose_update
+  return surfels, kf, depth_intr, color_intr, a, cfactor, pose_update
 
 
 @functools.partial(
@@ -576,6 +582,12 @@ class DirectBA:
 
       # --- GEOMETRY OPTIMIZATION (alternating) or JOINT PCG STEP ---
       use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
+      # Under PCG the intrinsics unknowns fold into the joint vector
+      # (direct_ba_pcg.cc:240-307) instead of the alternated Schur step.
+      pcg_dintr = (use_pcg and optimize_depth_intrinsics
+                   and self.use_depth_residuals)
+      pcg_cintr = (use_pcg and optimize_color_intrinsics
+                   and self.use_descriptor_residuals)
       if use_pcg:
         with Timing.time("BA PCG"):
           # Gauge: rotate the fixed keyframe deterministically over the VALID
@@ -585,13 +597,15 @@ class DirectBA:
           valid_np = np.asarray(self.kf.valid)  # one transfer
           valid_slots = [i for i in range(kcount) if valid_np[i]] or [0]
           gauge = valid_slots[iteration % len(valid_slots)]
-          self.surfels, self.kf, pose_update = _pcg_iteration_jit(
+          (self.surfels, self.kf, self.depth_intr, self.color_intr,
+           self.a, self.cfactor, pose_update) = _pcg_iteration_jit(
               self.surfels, self.kf, self.depth_intr, self.color_intr,
               self.a, self.cfactor, self.baseline_fx,
               jnp.asarray(gauge, jnp.int32),
               w, h, cw, ch, self.cell_size,
               self.use_depth_residuals, self.use_descriptor_residuals,
-              self.config.pcg_max_inner_iterations)
+              self.config.pcg_max_inner_iterations,
+              opt_dintr=pcg_dintr, opt_cintr=pcg_cintr)
       elif optimize_geometry:
         with Timing.time("BA geometry optimization"):
           self.surfels = _geometry_iteration_jit(
@@ -630,11 +644,13 @@ class DirectBA:
           # One scalar read (the jitted phase already computed the count).
           num_converged = int(num_converged_dev)
 
-      # --- INTRINSICS OPTIMIZATION ---
-      if optimize_depth_intrinsics or optimize_color_intrinsics:
+      # --- INTRINSICS OPTIMIZATION (alternated; skipped for the unknowns
+      # the joint PCG step above already solved) ---
+      alt_dintr = optimize_depth_intrinsics and not pcg_dintr
+      alt_cintr = optimize_color_intrinsics and not pcg_cintr
+      if alt_dintr or alt_cintr:
         with Timing.time("BA intrinsics optimization"):
-          self._optimize_intrinsics(optimize_depth_intrinsics,
-                                    optimize_color_intrinsics)
+          self._optimize_intrinsics(alt_dintr, alt_cintr)
 
       if self.timings_stream is not None:
         self.timings_stream.write(
