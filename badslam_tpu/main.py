@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--export_final_timings", default=None)
   p.add_argument("--save_timings", default=None,
                  help="stream per-BA-iteration stats to this file")
+  p.add_argument("--device_accurate_timings", action="store_true",
+                 help="bracket every timed phase with device barriers"
+                      " (cudaEvent-accurate per-phase numbers; profiling"
+                      " mode — degrades pipelined dispatch, see PERF.md)")
   p.add_argument("--export_poses", default=None)
   p.add_argument("--import_calibration", default=None)
   p.add_argument("--save_state", default=None,
@@ -175,6 +179,8 @@ def run(args) -> int:
       print("Using native prefetching data loader")
 
   slam = BadSlam(config, video)
+  if args.device_accurate_timings:
+    Timing.set_device_accurate(True)
   if args.save_timings:
     slam.direct_ba.timings_stream = open(args.save_timings, "w")
   if args.import_calibration:

@@ -6,9 +6,21 @@ timing taxonomy that the reference exports with ``--export_final_timings``
 (main.cc:788-793).
 
 On TPU, a phase's device work is asynchronous; ``Timing.time(...)`` measures
-host wall time of the dispatched block. Use ``block=True`` (or call
-``Timing.block_until_ready(x)`` on the phase result) for accurate device
-timings — the bench harness does this.
+host wall time of the dispatched block. For device-accurate per-phase
+numbers — the analog of the reference's cudaEvent brackets around every
+pipeline stage (direct_ba_alternating.cc:629-690, bad_slam.cc:411-447) —
+enable ``Timing.set_device_accurate(True)`` (CLI:
+``--device_accurate_timings``): every timed scope then opens and closes
+with a device barrier, so the recorded span covers exactly that phase's
+device execution. The barrier dispatches a trivial jitted program and
+blocks on it; PJRT executes a device's programs in submission order, so its
+completion bounds all previously dispatched work.
+
+CAUTION (PERF.md "tunnel dispatch modes"): the barrier's block IS a
+device->host synchronization — through the axon TPU tunnel the first one
+permanently drops the process into synchronous dispatch. Device-accurate
+timing is a PROFILING mode: per-phase numbers become attributable while
+end-to-end throughput degrades; never enable it in production runs.
 """
 
 from __future__ import annotations
@@ -47,6 +59,27 @@ class Timing:
   _stats: Dict[str, _Stat] = {}
   _lock = threading.Lock()
   enabled: bool = True
+  _device_accurate: bool = False
+  _barrier = None
+
+  @classmethod
+  def set_device_accurate(cls, on: bool):
+    """Bracket every timed scope with device barriers (cudaEvent analog).
+    See the module docstring for the tunnel-dispatch caveat."""
+    cls._device_accurate = on
+    if on and cls._barrier is None:
+      import jax
+      import jax.numpy as jnp
+      fn = jax.jit(lambda: jnp.zeros((), jnp.int32))
+      cls._barrier = lambda: jax.block_until_ready(fn())
+
+  @classmethod
+  def device_barrier(cls):
+    if cls._device_accurate and cls._barrier is not None:
+      try:
+        cls._barrier()
+      except Exception:
+        pass
 
   @classmethod
   def add_time(cls, tag: str, seconds: float):
@@ -59,6 +92,7 @@ class Timing:
     if not cls.enabled:
       yield
       return
+    cls.device_barrier()  # pending prior work must not bill to this phase
     start = time.perf_counter()
     try:
       yield
@@ -69,6 +103,7 @@ class Timing:
           jax.block_until_ready(block_on)
         except Exception:
           pass
+      cls.device_barrier()  # this phase's dispatched work completes here
       cls.add_time(tag, time.perf_counter() - start)
 
   @classmethod

@@ -81,3 +81,57 @@ def test_keyframe_merge_deletes_redundant():
   for i in range(4):
     if not valid[i]:
       assert not covis[i].any() and not covis[:, i].any()
+
+
+@pytest.mark.parametrize("use_pcg", [False, True],
+                         ids=["alternating", "pcg"])
+def test_ba_scheme_with_deleted_slot_inside_watermark(use_pcg):
+  """A keyframe deleted BEFORE a BA scheme leaves an invalid slot inside the
+  watermark; the scheme's convergence accounting must count that slot as
+  converged (direct_ba_alternating.cc:548-551,692-701 treats null keyframes
+  as converged) so BA can terminate, and the live poses must still recover."""
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.slam.direct_ba import DirectBA
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(160, 120)
+  cfg = BadSlamConfig(
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1, min_observation_count=1,
+      initial_keyframe_capacity=4, initial_surfel_capacity=1 << 13,
+      use_pcg=use_pcg)
+  ba = DirectBA(cfg, cam, cam)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3)
+  kf = synthetic.preprocess_like_test_keyframe(
+      depth, cam, intensity=synthetic.intensity_function_image(cam), cell=2)
+  # Identical images => ground-truth poses all identity; perturb inits.
+  perturbs = [
+      [0, 0, 0, 0, 0, 0],
+      [0.002, -0.001, 0.001, 0.0004, 0, -0.0003],
+      [0.05, 0.05, 0.05, 0.01, 0.01, 0.01],   # slot to delete (poison pose)
+      [-0.001, 0.002, -0.002, 0, 0.0004, 0.0002],
+  ]
+  for i, p in enumerate(perturbs):
+    ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                    se3.exp(jnp.asarray(p, jnp.float32)), i * 10)
+  ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+
+  deleted_pose_before = np.asarray(ba.kf.global_T_frame[2])
+  ba.delete_keyframe(2)
+  assert not bool(np.asarray(ba.kf.valid)[2])
+  assert ba.keyframe_count == 4  # watermark unchanged: slot 2 is a hole
+
+  iters, converged = ba.bundle_adjustment(max_iterations=12)
+  # Convergence accounting must allow termination despite the hole.
+  assert converged, f"BA did not converge in {iters} iterations"
+  assert iters < 12
+
+  # Live keyframes recover to (gauge-shared) identity relative poses.
+  T = ba.kf.global_T_frame
+  for i in (1, 3):
+    rel = np.abs(np.asarray(se3.log(se3.inverse(T[0]) @ T[i]))).max()
+    assert rel < 5e-4, (i, rel)
+  # The deleted slot's pose is untouched (masked out of every phase).
+  np.testing.assert_allclose(np.asarray(T[2]), deleted_pose_before,
+                             rtol=0, atol=1e-6)
