@@ -77,13 +77,21 @@ class PCGVector(NamedTuple):
   def mul(self, other):
     return PCGVector(*(a * b for a, b in zip(self, other)))
 
-  def dot(self, other, axis_name: Optional[str] = None):
-    # Sharded blocks first (psum'd); replicated blocks added locally after.
+  def dot(self, other, axis_name: Optional[str] = None,
+          kf_axis: Optional[str] = None):
+    # Surfel blocks: sharded along the surfel axis (psum'd over it) and —
+    # once pcg_init/apply_hessian have psum'd them over the kf axis —
+    # replicated along the kf axis, so no kf psum here. Pose blocks: sharded
+    # along the kf axis (psum'd over it), replicated along the surfel axis.
+    # Intrinsics blocks: replicated everywhere, summed locally.
     d = (jnp.sum(self.spos * other.spos)
          + jnp.sum(self.sdesc * other.sdesc))
     if axis_name is not None:
       d = jax.lax.psum(d, axis_name)
-    return (d + jnp.sum(self.poses * other.poses)
+    dp = jnp.sum(self.poses * other.poses)
+    if kf_axis is not None:
+      dp = jax.lax.psum(dp, kf_axis)
+    return (d + dp
             + jnp.sum(self.dintr * other.dintr)
             + jnp.sum(self.cfac * other.cfac)
             + jnp.sum(self.cintr * other.cintr))
@@ -267,10 +275,41 @@ def _segsum(vals, seg, num_cells):
   return jax.ops.segment_sum(vals, seg, num_segments=num_cells + 1)[:num_cells]
 
 
+def _gauge_mask(k: int, gauge_index, kf_axis: Optional[str]):
+  """(k, 1) mask of the gauge-fixed pose row. Under kf-sharding the local
+  rows map to global rows via the shard offset, and gauge_index is GLOBAL."""
+  rows = jnp.arange(k)
+  if kf_axis is not None:
+    rows = rows + jax.lax.axis_index(kf_axis) * k
+  return (rows == gauge_index)[:, None]
+
+
+def _psum_replicated(vec: PCGVector, axis_name, kf_axis) -> PCGVector:
+  """Cross-shard reduction of accumulated r/M/g blocks: pose rows were
+  accumulated from the local surfel shard only (psum over the surfel axis);
+  surfel rows from the local keyframe shard only (psum over the kf axis);
+  intrinsics rows from both (psum over both)."""
+  poses, spos, sdesc = vec.poses, vec.spos, vec.sdesc
+  dintr, cfac, cintr = vec.dintr, vec.cfac, vec.cintr
+  if axis_name is not None:
+    poses = jax.lax.psum(poses, axis_name)
+    dintr = jax.lax.psum(dintr, axis_name)
+    cfac = jax.lax.psum(cfac, axis_name)
+    cintr = jax.lax.psum(cintr, axis_name)
+  if kf_axis is not None:
+    spos = jax.lax.psum(spos, kf_axis)
+    sdesc = jax.lax.psum(sdesc, kf_axis)
+    dintr = jax.lax.psum(dintr, kf_axis)
+    cfac = jax.lax.psum(cfac, kf_axis)
+    cintr = jax.lax.psum(cintr, kf_axis)
+  return PCGVector(poses, spos, sdesc, dintr, cfac, cintr)
+
+
 def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
              use_depth=True, use_desc=True,
              axis_name: Optional[str] = None,
              opt_dintr: bool = False, opt_cintr: bool = False,
+             kf_axis: Optional[str] = None,
              ) -> Tuple[PCGVector, PCGVector]:
   """r = -J^T W F and Jacobi preconditioner M = diag(J^T W J) + eps
   (PCGInitCUDAKernel, kernel_pcg.cu:180+), including the a-prior rows
@@ -348,18 +387,10 @@ def pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
                          use_depth, use_desc, body,
                          (zeros_like_vec(k, n, c), zeros_like_vec(k, n, c)),
                          opt_dintr, opt_cintr)
-  if axis_name is not None:
-    # Replicated blocks were accumulated from shard-local surfels only.
-    r = r._replace(poses=jax.lax.psum(r.poses, axis_name),
-                   dintr=jax.lax.psum(r.dintr, axis_name),
-                   cfac=jax.lax.psum(r.cfac, axis_name),
-                   cintr=jax.lax.psum(r.cintr, axis_name))
-    M = M._replace(poses=jax.lax.psum(M.poses, axis_name),
-                   dintr=jax.lax.psum(M.dintr, axis_name),
-                   cfac=jax.lax.psum(M.cfac, axis_name),
-                   cintr=jax.lax.psum(M.cintr, axis_name))
+  r = _psum_replicated(r, axis_name, kf_axis)
+  M = _psum_replicated(M, axis_name, kf_axis)
   # Gauge fixing: zero the fixed keyframe's rows; unit preconditioner there.
-  gauge_mask = (jnp.arange(k) == gauge_index)[:, None]
+  gauge_mask = _gauge_mask(k, gauge_index, kf_axis)
   r = r._replace(poses=jnp.where(gauge_mask, 0.0, r.poses))
   M = M._replace(
       poses=jnp.where(gauge_mask, 1.0, M.poses + DIAG_EPSILON),
@@ -388,6 +419,7 @@ def apply_hessian(p: PCGVector, surfels, kf, depth_cam, color_cam, dp,
                   gauge_index, use_depth=True, use_desc=True,
                   axis_name: Optional[str] = None,
                   opt_dintr: bool = False, opt_cintr: bool = False,
+                  kf_axis: Optional[str] = None,
                   ) -> PCGVector:
   """g = (J^T W J + eps I) p, matrix-free (PCGStep1, kernel_pcg.cu:646+),
   including the a-prior term on the a row (kernel_pcg.cu:1040)."""
@@ -395,7 +427,7 @@ def apply_hessian(p: PCGVector, surfels, kf, depth_cam, color_cam, dp,
   c = _num_cells(dp)
   opt_dintr = opt_dintr and use_depth
   opt_cintr = opt_cintr and use_desc
-  gauge_mask = (jnp.arange(k) == gauge_index)[:, None]
+  gauge_mask = _gauge_mask(k, gauge_index, kf_axis)
   p = p._replace(poses=jnp.where(gauge_mask, 0.0, p.poses))
   if not opt_dintr:
     p = p._replace(dintr=jnp.zeros_like(p.dintr),
@@ -458,11 +490,7 @@ def apply_hessian(p: PCGVector, surfels, kf, depth_cam, color_cam, dp,
   g = _scan_keyframes(surfels, kf, depth_cam, color_cam, dp,
                       use_depth, use_desc, body, zeros_like_vec(k, n, c),
                       opt_dintr, opt_cintr)
-  if axis_name is not None:
-    g = g._replace(poses=jax.lax.psum(g.poses, axis_name),
-                   dintr=jax.lax.psum(g.dintr, axis_name),
-                   cfac=jax.lax.psum(g.cfac, axis_name),
-                   cintr=jax.lax.psum(g.cintr, axis_name))
+  g = _psum_replicated(g, axis_name, kf_axis)
   g = g._replace(poses=jnp.where(gauge_mask, p.poses, g.poses))
   g = PCGVector(
       poses=g.poses + DIAG_EPSILON * p.poses,
@@ -483,24 +511,26 @@ def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
               max_inner_iterations: int = 30,
               use_depth: bool = True, use_desc: bool = True,
               axis_name: Optional[str] = None,
-              opt_dintr: bool = False, opt_cintr: bool = False) -> PCGVector:
+              opt_dintr: bool = False, opt_cintr: bool = False,
+              kf_axis: Optional[str] = None) -> PCGVector:
   """Full PCG solve: returns the GN update delta (to be applied negatively
   per our J convention matching the alternating path)."""
   r0, M = pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
-                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr)
+                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr,
+                   kf_axis)
   M_inv = PCGVector(*(1.0 / m for m in M))
 
   def hvp(p):
     return apply_hessian(p, surfels, kf, depth_cam, color_cam, dp,
                          gauge_index, use_depth, use_desc, axis_name,
-                         opt_dintr, opt_cintr)
+                         opt_dintr, opt_cintr, kf_axis)
 
   delta0 = zeros_like_vec(kf.capacity, surfels.capacity, _num_cells(dp))
   g0 = M_inv.mul(r0)
   p0 = g0
-  # PCGVector.dot psums the (sharded) surfel parts when axis_name is set;
-  # pose/intrinsics parts are replicated, so they are summed locally only.
-  alpha_n0 = r0.dot(g0, axis_name=axis_name)
+  # PCGVector.dot psums the sharded surfel parts over axis_name and the
+  # sharded pose parts over kf_axis; intrinsics parts are replicated.
+  alpha_n0 = r0.dot(g0, axis_name=axis_name, kf_axis=kf_axis)
 
   def cond(state):
     it, delta, r, g, pvec, alpha_n, prev_alpha = state
@@ -511,12 +541,12 @@ def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
   def body(state):
     it, delta, r, g, pvec, alpha_n, _ = state
     h = hvp(pvec)
-    alpha_d = pvec.dot(h, axis_name=axis_name)
+    alpha_d = pvec.dot(h, axis_name=axis_name, kf_axis=kf_axis)
     alpha = alpha_n / jnp.maximum(alpha_d, 1e-30)
     delta = delta + pvec.scale(alpha)
     r = r - h.scale(alpha)
     g = M_inv.mul(r)
-    beta_n = r.dot(g, axis_name=axis_name)
+    beta_n = r.dot(g, axis_name=axis_name, kf_axis=kf_axis)
     beta = beta_n / jnp.maximum(alpha_n, 1e-30)
     pvec = g + pvec.scale(beta)
     return (it + 1, delta, r, g, pvec, beta_n, alpha_n)
@@ -529,17 +559,19 @@ def pcg_solve(surfels: SurfelStore, kf: KeyframeStore,
 def debug_verify_result(delta: PCGVector, surfels, kf, depth_cam, color_cam,
                         dp, gauge_index, use_depth=True, use_desc=True,
                         axis_name: Optional[str] = None,
-                        opt_dintr: bool = False, opt_cintr: bool = False):
+                        opt_dintr: bool = False, opt_cintr: bool = False,
+                        kf_axis: Optional[str] = None):
   """kDebugVerifyResult self-check (direct_ba_pcg.cc:476-550,
   kernel_pcg.cu:1260-1276): recompute r0 and (J^T W J + eps I) delta and
   return the max-abs residual of the normal equations, plus ||r0||_inf for
   scale. An exact solve gives 0; a converged PCG gives a value small
   relative to ||r0||_inf."""
   r0, _ = pcg_init(surfels, kf, depth_cam, color_cam, dp, gauge_index,
-                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr)
+                   use_depth, use_desc, axis_name, opt_dintr, opt_cintr,
+                   kf_axis)
   hd = apply_hessian(delta, surfels, kf, depth_cam, color_cam, dp,
                      gauge_index, use_depth, use_desc, axis_name,
-                     opt_dintr, opt_cintr)
+                     opt_dintr, opt_cintr, kf_axis)
   diff = hd - r0
   err = jnp.maximum(
       jnp.max(jnp.abs(diff.spos)),
@@ -558,6 +590,9 @@ def debug_verify_result(delta: PCGVector, surfels, kf, depth_cam, color_cam,
   if axis_name is not None:
     err = jax.lax.pmax(err, axis_name)
     scale = jax.lax.pmax(scale, axis_name)
+  if kf_axis is not None:
+    err = jax.lax.pmax(err, kf_axis)
+    scale = jax.lax.pmax(scale, kf_axis)
   return err, scale
 
 

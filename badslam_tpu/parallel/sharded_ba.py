@@ -277,6 +277,54 @@ def shard_keyframes_2d(kf: KeyframeStore, mesh: Mesh) -> KeyframeStore:
       name: place(name, getattr(kf, name)) for name in KeyframeStore._fields})
 
 
+def grow_keyframes_2d(kf: KeyframeStore, mesh: Mesh,
+                      new_capacity: int) -> KeyframeStore:
+  """Keyframe-store growth under kf-sharding: pad every (K, ...) array (and
+  both axes of the covisibility matrix) to new_capacity and re-place with
+  the kf axis sharded. new_capacity must be a multiple of the kf mesh axis;
+  new slots arrive invalid, so they are free to receive future keyframes via
+  add_keyframe_2d. This is the scale-out analog of keyframes.grow()."""
+  from badslam_tpu.models import keyframes as kf_mod
+  assert new_capacity % mesh.shape[KF_AXIS] == 0, (
+      f"capacity {new_capacity} must divide over kf axis "
+      f"{mesh.shape[KF_AXIS]}")
+  return shard_keyframes_2d(kf_mod.grow(kf, new_capacity), mesh)
+
+
+def make_add_keyframe_2d(mesh: Mesh):
+  """Jitted insertion of one keyframe into a slot of the kf-sharded store:
+  the images land on the shard owning the slot; everything else is a masked
+  row update (no gather/re-place of the full store). Covisibility row/column
+  are set from a replicated (K,) bool mask."""
+  def add(kf: KeyframeStore, slot, depth, normals, radius_sq, intensity,
+          rgb, T, frame_index, min_depth, max_depth, covis_row):
+    onehot = jnp.arange(kf.capacity) == slot
+    def put(stack, img):
+      return jnp.where(
+          onehot.reshape((-1,) + (1,) * (stack.ndim - 1)), img[None], stack)
+    covis = jnp.where(onehot[:, None], covis_row[None, :], kf.covis)
+    covis = jnp.where(onehot[None, :], covis_row[:, None], covis)
+    covis = covis.at[slot, slot].set(True)
+    return kf._replace(
+        depth=put(kf.depth, depth),
+        normals=put(kf.normals, normals),
+        radius_sq=put(kf.radius_sq, radius_sq),
+        intensity=put(kf.intensity, intensity),
+        rgb=put(kf.rgb, rgb),
+        global_T_frame=put(kf.global_T_frame, T),
+        frame_index=jnp.where(onehot, frame_index, kf.frame_index),
+        min_depth=jnp.where(onehot, min_depth, kf.min_depth),
+        max_depth=jnp.where(onehot, max_depth, kf.max_depth),
+        valid=kf.valid | onehot,
+        activation=jnp.where(onehot, 2, kf.activation),
+        covis=covis,
+        count=jnp.maximum(kf.count, slot.astype(jnp.int32) + 1))
+
+  # Donating the store keeps the kf-sharded layout (GSPMD propagates the
+  # input shardings), so insertion never reshards the image stacks.
+  return jax.jit(add, donate_argnums=(0,))
+
+
 def shard_surfels_2d(surfels: SurfelStore, mesh: Mesh) -> SurfelStore:
   """Surfel arrays sharded along the surfel mesh axis, replicated over kf."""
   def place(name, x):
@@ -348,6 +396,60 @@ def make_sharded_pcg_step(
       step, mesh=mesh,
       in_specs=(surfel_spec, kf_spec, P(), P(), P(), P()),
       out_specs=out_specs,
+      check_vma=False,
+  )
+  return jax.jit(sharded)
+
+
+def make_sharded_pcg_step_2d(
+    mesh: Mesh,
+    depth_cam: PinholeCamera,
+    color_cam: PinholeCamera,
+    cell_size: int,
+    use_depth_residuals: bool = True,
+    use_descriptor_residuals: bool = True,
+    max_inner_iterations: int = 30,
+):
+  """Joint-GN PCG over the 2-D ('kf', 'surfels') mesh — the multi-host
+  layout: keyframe image stacks AND their pose unknowns sharded along the
+  kf axis, surfel unknowns along the surfel axis. Per CG iteration the
+  cross-shard traffic is: pose rows psum'd over the surfel axis, surfel
+  rows psum'd over the kf axis, and the three scalar dot products psum'd
+  over both — no unknown block is ever gathered whole.
+
+  gauge_index is the GLOBAL keyframe slot (the local shard offset is
+  resolved via axis_index, models/pcg.py:_gauge_mask).
+
+  Returns jitted (surfels, kf, a, cfactor, baseline_fx, gauge_index)
+      -> (surfels', kf', max_pose_update).
+  """
+  from badslam_tpu.models import pcg as pcg_mod
+
+  def kf_shard_spec(name):
+    return P() if name == "count" else P(KF_AXIS)
+
+  kf_spec = KeyframeStore(**{
+      name: kf_shard_spec(name) for name in KeyframeStore._fields})
+  surfel_spec = _surfel_specs()
+
+  def step(surfels: SurfelStore, kf: KeyframeStore, a, cfactor, baseline_fx,
+           gauge_index):
+    dp = DepthParamsArrays(a=a, cfactor=cfactor, baseline_fx=baseline_fx,
+                           cell_size=cell_size)
+    delta = pcg_mod.pcg_solve(
+        surfels, kf, depth_cam, color_cam, dp, gauge_index,
+        max_inner_iterations, use_depth_residuals, use_descriptor_residuals,
+        axis_name=SURFEL_AXIS, kf_axis=KF_AXIS)
+    surfels, kf = pcg_mod.apply_pcg_delta(surfels, kf, delta)
+    pose_update = jax.lax.pmax(
+        jnp.max(jnp.where(kf.valid[:, None], jnp.abs(delta.poses), 0.0)),
+        KF_AXIS)
+    return surfels, kf, pose_update
+
+  sharded = shard_map(
+      step, mesh=mesh,
+      in_specs=(surfel_spec, kf_spec, P(), P(), P(), P()),
+      out_specs=(surfel_spec, kf_spec, P()),
       check_vma=False,
   )
   return jax.jit(sharded)
