@@ -111,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--load_state", default=None,
                  help="restore a state snapshot before processing")
   p.add_argument("--quiet", action="store_true")
+  p.add_argument("--log_level", default=None,
+                 choices=["debug", "info", "warning", "error", "fatal"],
+                 help="log verbosity (also BADSLAM_LOG_LEVEL env)")
   return p
 
 
@@ -163,20 +166,23 @@ def run(args) -> int:
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.io import state as state_io
   from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils import logging as log
   from badslam_tpu.utils.timing import Timing
 
+  if args.log_level:
+    log.set_level(args.log_level)
   config = config_from_args(args)
   video = dataset_io.load_tum_dataset(
       args.dataset, args.trajectory,
       raw_to_float_depth=config.raw_to_float_depth)
   if not args.quiet:
-    print(f"Loaded {video.frame_count()} frames from {args.dataset} "
+    log.info(f"Loaded {video.frame_count()} frames from {args.dataset} "
           f"({video.depth_camera.width}x{video.depth_camera.height})")
 
   # Native prefetch pipeline (PreLoadThread equivalent, main.cc:569).
   if video.enable_native_prefetch():
     if not args.quiet:
-      print("Using native prefetching data loader")
+      log.info("Using native prefetching data loader")
 
   slam = BadSlam(config, video)
   if args.device_accurate_timings:

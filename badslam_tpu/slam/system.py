@@ -36,6 +36,7 @@ from badslam_tpu.models import odometry as odometry_mod
 from badslam_tpu.ops import depth_model, depth_proc, image_proc
 from badslam_tpu.ops.pyramid import FramePyramidLevel, build_pyramid
 from badslam_tpu.slam.direct_ba import DirectBA, make_camera
+from badslam_tpu.utils import logging as log
 from badslam_tpu.utils.timing import Timing
 
 
@@ -330,7 +331,7 @@ class BadSlam:
     frame_speed = float(np.linalg.norm(base_T_frame[:3, 3] - prev_rel[:3, 3]))
     if (not np.isfinite(base_T_frame).all() or n_resid < min_resid
         or frame_speed > cfg.max_translation_per_frame):
-      print(f"WARNING: tracking failed at frame {frame_index} "
+      log.warning(f"tracking failed at frame {frame_index} "
             f"({n_resid} residuals, {frame_speed:.2f} m moved); "
             "holding last pose")
       base_T_frame = prev_rel
@@ -418,7 +419,7 @@ class BadSlam:
     else:
       deleted = self.direct_ba.merge_keyframes(self.loop_detector)
       if deleted:
-        print(f"WARNING: low device memory; merged {deleted} keyframe(s)")
+        log.warning(f"low device memory; merged {deleted} keyframe(s)")
 
   def create_keyframe(self, frame_index: int, processed: ProcessedFrame):
     """CreateKeyframe (bad_slam.cc:953-1097)."""
@@ -544,7 +545,7 @@ class BadSlam:
       if merge_requested:
         deleted = self.direct_ba.merge_keyframes(self.loop_detector)
         if deleted:
-          print(f"WARNING: low device memory; merged {deleted} keyframe(s)")
+          log.warning(f"low device memory; merged {deleted} keyframe(s)")
 
       # One BA iteration over all keyframes (the BA thread never uses
       # deactivation or PCG, bad_slam.cc:1268-1289).

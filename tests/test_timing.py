@@ -67,3 +67,23 @@ def test_disabled_mode_unchanged():
   with Timing.time("plain"):
     time.sleep(0.01)
   assert Timing.stats()["plain"].last >= 0.009
+
+
+def test_logging_levels_and_checks():
+  """Leveled logging + CHECK diagnostics (libvis logging.h / loguru parity)."""
+  import pytest
+  from badslam_tpu.utils import logging as log
+  log.set_level("warning")
+  log.info("suppressed")
+  log.warning("shown %d", 1)
+  log.set_level("info")
+  log.check(True)
+  log.check_eq(3, 3)
+  log.check_le(1, 2)
+  assert log.check_notnull("x") == "x"
+  with pytest.raises(log.CheckFailedError, match="3 vs 4"):
+    log.check_eq(3, 4, "counts match")
+  with pytest.raises(log.CheckFailedError):
+    log.check(False, "invariant broken")
+  with pytest.raises(log.CheckFailedError, match="boom"):
+    log.fatal("boom %s", "now")
