@@ -36,6 +36,11 @@ def _valid_slots(kf) -> np.ndarray:
 def save_state(path: str, slam) -> None:
   """Snapshot the full SLAM state of a BadSlam system to one .npz file."""
   import jax.numpy as jnp
+  # Settle the parallel-BA pipeline first: keyframes still sitting in the
+  # BA thread's queue (e.g. while its jits compile) must land in the stores
+  # before the snapshot reads them.
+  if hasattr(slam, "quiesce"):
+    slam.quiesce()
   ba = slam.direct_ba
   kf = ba.kf
   s = ba.surfels

@@ -174,6 +174,7 @@ class BadSlam:
     self._parallel_iteration_queue: List[dict] = []
     self._merge_requested = False  # watchdog merge, executed by the BA thread
     self._quit_requested = False
+    self._ba_busy = False  # True while the BA thread runs a popped iteration
     self._ba_thread = None
     self._parallel = bool(config.parallel_ba and config.estimate_poses)
     if self._parallel:
@@ -532,10 +533,12 @@ class BadSlam:
   def _ba_thread_main(self):
     while True:
       with self._ba_condition:
+        self._ba_busy = False
         while not self._parallel_iteration_queue and not self._quit_requested:
           self._ba_condition.wait(timeout=0.1)
         if self._quit_requested:
           return
+        self._ba_busy = True
         options = self._parallel_iteration_queue.pop(0)
         self._drain_keyframe_queue_locked()
         merge_requested = self._merge_requested
@@ -565,6 +568,23 @@ class BadSlam:
       # Trajectory deformation + base keyframe pose refresh
       # (bad_slam.cc:1291-1300).
       self._apply_trajectory_deformation(original)
+
+  def quiesce(self):
+    """Wait until the parallel BA thread has no queued iterations and no
+    iteration in flight, then register any keyframes still waiting in the
+    queue — WITHOUT stopping the thread. State readers that need a
+    consistent full snapshot mid-run (save_state) call this; otherwise a
+    keyframe queued but not yet registered (e.g. while the BA jits are
+    still compiling) would silently be missing from the snapshot."""
+    if self._ba_thread is None:
+      return
+    import time as _time
+    while True:
+      with self._ba_lock:
+        if not self._parallel_iteration_queue and not self._ba_busy:
+          self._drain_keyframe_queue_locked()
+          return
+      _time.sleep(0.005)
 
   def stop_ba_thread_and_wait(self):
     """StopBAThreadAndWaitForIt (bad_slam.h): finish queued work, stop the
