@@ -192,6 +192,11 @@ def load_state(path: str, slam) -> None:
       active=jnp.asarray(mask),
       count=jnp.asarray(n, jnp.int32),
   )
+  # The store was replaced wholesale: the host-side watermark upper bound
+  # (DirectBA._ensure_surfel_capacity) must track the new watermark, or the
+  # transfer-free growth check would under-estimate and let appends overflow
+  # the store.
+  ba._watermark_bound = n
 
   # Motion model + counters.
   hist = data["base_kf_tr_frame"]

@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
                  help="bracket every timed phase with device barriers"
                       " (cudaEvent-accurate per-phase numbers; profiling"
                       " mode — degrades pipelined dispatch, see PERF.md)")
+  p.add_argument("--profile_dir", default=None,
+                 help="capture a jax.profiler trace of the whole run into"
+                      " this directory (view with TensorBoard/Perfetto)")
   p.add_argument("--export_poses", default=None)
   p.add_argument("--import_calibration", default=None)
   p.add_argument("--save_state", default=None,
@@ -185,6 +188,11 @@ def run(args) -> int:
       log.info("Using native prefetching data loader")
 
   slam = BadSlam(config, video)
+  if args.profile_dir:
+    import jax
+    jax.profiler.start_trace(args.profile_dir)
+    import atexit
+    atexit.register(jax.profiler.stop_trace)
   if args.device_accurate_timings:
     Timing.set_device_accurate(True)
   if args.save_timings:

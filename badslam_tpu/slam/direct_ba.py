@@ -43,6 +43,11 @@ from badslam_tpu.ops.depth_proc import compute_min_max_depth
 from badslam_tpu.utils import logging as log
 from badslam_tpu.utils.timing import Timing
 
+# kDebugVerifySurfelCount analog (direct_ba.cc:55): recount on device and
+# CHECK the host mirrors after every BA scheme. Debug-only (performs D2H).
+import os
+DEBUG_VERIFY_COUNT = bool(os.environ.get("BADSLAM_DEBUG_VERIFY_COUNT"))
+
 
 def make_camera(intr: jax.Array, width: int, height: int) -> PinholeCamera:
   return PinholeCamera(width, height, intr[0], intr[1], intr[2], intr[3])
@@ -674,7 +679,26 @@ class DirectBA:
       self.perform_ba_scheme_end_tasks(do_surfel_updates)
       self.ba_iteration_count += 1
 
+    if DEBUG_VERIFY_COUNT:
+      self.debug_verify_counts()
     return iterations_done, converged
+
+  def debug_verify_counts(self):
+    """DebugVerifySurfelCount analog (kernel_verify_count.cc:39-60,
+    kDebugVerifySurfelCount at direct_ba.cc:55): recount live surfels on
+    device and CHECK the host-side mirrors' invariants. A debug facility —
+    the D2H reads here drop the axon tunnel out of pipelined dispatch, so
+    it is gated on BADSLAM_DEBUG_VERIFY_COUNT (and usable from tests)."""
+    device_valid = int(jnp.sum(self.surfels.valid))
+    log.check_eq(device_valid, self.surfel_count, "surfel count mirror")
+    watermark = int(self.surfels.count)
+    log.check_le(device_valid, watermark, "live surfels within watermark")
+    log.check_le(watermark, self.surfels.capacity, "watermark within store")
+    log.check_le(watermark, self._watermark_bound,
+                 "host watermark bound is an upper bound")
+    log.check_eq(int(self.kf.count), self._kf_count_host,
+                 "keyframe count mirror")
+    log.debug("DebugVerifySurfelCount: ok")
 
   def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
     """Merge (keyframes active this block) + delete + radius update

@@ -39,6 +39,11 @@ from badslam_tpu.slam.direct_ba import DirectBA, make_camera
 from badslam_tpu.utils import logging as log
 from badslam_tpu.utils.timing import Timing
 
+# DEBUG_LOCKING analog (direct_ba.h:47,231-292): methods whose contract
+# requires the BA lock CHECK it when BADSLAM_DEBUG_LOCKING is set.
+import os
+DEBUG_LOCKING = bool(os.environ.get("BADSLAM_DEBUG_LOCKING"))
+
 
 class ProcessedFrame(NamedTuple):
   """Output of PreprocessFrame: everything a keyframe needs."""
@@ -508,6 +513,9 @@ class BadSlam:
     pose (the last registered keyframe may have moved during BA). Must be
     called with _ba_lock HELD; releases and re-acquires it around the
     registration work."""
+    if DEBUG_LOCKING:
+      log.check(self._ba_lock.locked(),
+                "_drain_keyframe_queue_locked requires _ba_lock")
     while self._queued_keyframes:
       (processed, frame_index, last_kf_T_this,
        run_loop_detection) = self._queued_keyframes.pop(0)

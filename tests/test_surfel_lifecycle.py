@@ -249,3 +249,62 @@ def test_assign_colors_averages_observations():
   assert (col > 0.05).any(), "colors were not refreshed"
   # Gray input: channels equal.
   np.testing.assert_allclose(col[:, 0], col[:, 1], atol=1e-5)
+
+
+def test_debug_verify_counts():
+  """DebugVerifySurfelCount analog (kernel_verify_count.cc:39-60): device
+  recount matches the host mirrors through create/merge/delete, and a
+  corrupted mirror is caught."""
+  import pytest
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.slam.direct_ba import DirectBA
+  from badslam_tpu.utils import logging as log
+  from badslam_tpu.utils import synthetic
+  cam = synthetic.default_test_camera(64, 48)
+  cfg = BadSlamConfig(sparse_surfel_cell_size=2,
+                      min_observation_count_while_bootstrapping_1=1,
+                      min_observation_count_while_bootstrapping_2=1,
+                      min_observation_count=1,
+                      initial_keyframe_capacity=2,
+                      initial_surfel_capacity=1 << 10)
+  ba = DirectBA(cfg, cam, cam)
+  depth, _ = synthetic.make_plane_scene(cam, seed=3, border=4)
+  kf = synthetic.preprocess_like_test_keyframe(depth, cam, cell=2)
+  T = jnp.eye(4, dtype=jnp.float32)
+  ba.add_keyframe(kf.depth, kf.normals, kf.radius_sq, kf.intensity, kf.rgb,
+                  T, 0)
+  ba.create_surfels_for_keyframe(0, filter_new_surfels=False)
+  ba.debug_verify_counts()
+  ba.bundle_adjustment(max_iterations=2)
+  ba.debug_verify_counts()
+  # A corrupted keyframe-count mirror must be caught.
+  ba._kf_count_host += 1
+  with pytest.raises(log.CheckFailedError):
+    ba.debug_verify_counts()
+  ba._kf_count_host -= 1
+
+
+def test_debug_locking_assertion():
+  """DEBUG_LOCKING analog: _drain_keyframe_queue_locked CHECKs the BA lock
+  when the mode is on."""
+  import pytest
+  import badslam_tpu.slam.system as system_mod
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.utils import logging as log
+  from badslam_tpu.utils import synthetic
+  cam = synthetic.default_test_camera(64, 48)
+  video = synthetic.make_synthetic_video(
+      cam, [__import__("numpy").eye(4, dtype="float32")],
+      __import__("numpy").asarray([[0.0, 0.0, -1.0]], dtype="float32"))
+  cfg = BadSlamConfig(parallel_ba=False)
+  slam = system_mod.BadSlam(cfg, video)
+  old = system_mod.DEBUG_LOCKING
+  system_mod.DEBUG_LOCKING = True
+  try:
+    with pytest.raises(log.CheckFailedError):
+      slam._drain_keyframe_queue_locked()  # lock NOT held
+    with slam._ba_lock:
+      slam._drain_keyframe_queue_locked()  # held: no-op on empty queue
+  finally:
+    system_mod.DEBUG_LOCKING = old
