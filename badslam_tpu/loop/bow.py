@@ -157,3 +157,50 @@ def l1_score(v: np.ndarray, db: np.ndarray) -> np.ndarray:
   """DBoW2 L1 similarity of query v (W,) against db rows (D, W): both
   L1-normalized; s = 1 - 0.5*|v - w|_1 in [0, 1]."""
   return 1.0 - 0.5 * np.abs(db - v[None, :]).sum(axis=1)
+
+
+class InvertedIndex:
+  """DBoW2's inverted file: word -> postings of (entry id, tf-idf weight).
+
+  For L1-normalized nonnegative vectors the L1 similarity reduces to
+  s(v, w) = 1 - 0.5*|v - w|_1 = sum_i min(v_i, w_i), which only receives
+  contributions from SHARED words — so a query touches exactly the postings
+  of its own words instead of every database row (DBoW2
+  TemplatedDatabase::queryL1). Entries are append-only with tombstones,
+  mirroring the detector's slot semantics.
+  """
+
+  def __init__(self, num_words: int):
+    self.num_words = num_words
+    self._postings: List[List] = [[] for _ in range(num_words)]
+    self._alive: List[bool] = []
+
+  def add(self, bow: Optional[np.ndarray]) -> int:
+    """Insert an L1-normalized TF-IDF vector; returns its entry id. A None
+    bow reserves a dead slot (keeps entry ids aligned with an external
+    store that has holes)."""
+    entry = len(self._alive)
+    if bow is None:
+      self._alive.append(False)
+      return entry
+    self._alive.append(True)
+    words = np.flatnonzero(bow)
+    for w in words:
+      self._postings[w].append((entry, float(bow[w])))
+    return entry
+
+  def remove(self, entry: int):
+    if 0 <= entry < len(self._alive):
+      self._alive[entry] = False
+
+  def query(self, bow: np.ndarray) -> np.ndarray:
+    """Scores (num_entries,) of the query against all live entries; dead
+    entries score 0."""
+    scores = np.zeros(len(self._alive), np.float32)
+    for w in np.flatnonzero(bow):
+      qv = bow[w]
+      for entry, wv in self._postings[w]:
+        scores[entry] += min(qv, wv)
+    if self._alive and not all(self._alive):
+      scores[~np.asarray(self._alive)] = 0.0
+    return scores

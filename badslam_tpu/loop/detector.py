@@ -109,6 +109,10 @@ class LoopDetector:
     self.vocab = None
     self.vocab_train_size = max(2, vocab_train_size)
     self._vocab_trained_on = 0
+    # DBoW2-style inverted file: word -> (entry, weight) postings, entry ids
+    # aligned with self.entries (holes become dead index slots).
+    self._inv_index = None
+    self._indexed_upto = 0
     self.temporal_consistency = temporal_consistency
     self._prev_best_db: Optional[int] = None
 
@@ -224,9 +228,21 @@ class LoopDetector:
       e.bow = vocab.bow_vector(words)
     self.vocab = vocab
     self._vocab_trained_on = len(live)
+    # Rebuild the inverted file in the new word space.
+    self._inv_index = bow.InvertedIndex(vocab.num_words)
+    self._indexed_upto = 0
+    self._index_new_entries()
     log.debug(f"BoW vocabulary trained on {len(live)} keyframes "
               f"({len(all_desc)} descriptors, depth {depth}, "
               f"{vocab.num_words} words)")
+
+  def _index_new_entries(self):
+    """Append entries not yet in the inverted file (ids stay aligned)."""
+    while self._indexed_upto < len(self.entries):
+      e = self.entries[self._indexed_upto]
+      self._inv_index.add(
+          self._bow_of(e) if e is not None and len(e.descriptors) else None)
+      self._indexed_upto += 1
 
   def _bow_of(self, entry: KeyframeEntry) -> Optional[np.ndarray]:
     if self.vocab is None or len(entry.descriptors) == 0:
@@ -256,13 +272,16 @@ class LoopDetector:
         break
 
     if self.vocab is not None:
-      # Stage 1: BoW scoring over the whole database (vectorized L1).
-      from badslam_tpu.loop import bow
+      # Stage 1: BoW scoring via the inverted file — only database entries
+      # sharing words with the query are touched (DBoW2
+      # TemplatedDatabase::queryL1; for L1-normalized nonnegative vectors
+      # 1 - 0.5*|v-w|_1 == sum_shared min(v_i, w_i)).
       q = self._bow_of(entry)
-      db = np.stack([self._bow_of(e) for _, e in usable])
-      scores = bow.l1_score(q, db)
+      self._index_new_entries()
+      scores_full = self._inv_index.query(q)
+      scores = scores_full[np.asarray([i for i, _ in usable])]
       prev_bow = self._bow_of(prev_entry) if prev_entry is not None else None
-      norm_score = (float(bow.l1_score(q, prev_bow[None, :])[0])
+      norm_score = (float(np.minimum(q, prev_bow).sum())
                     if prev_bow is not None else 1.0)
       # DLoopDetector LOW_NSS_FACTOR: an unreliable normalizer (e.g. motion
       # blur) rejects the query instead of loosening the gate.
@@ -326,6 +345,8 @@ class LoopDetector:
       for i, e in enumerate(self.entries):
         if e is not None and e.kf_slot == kf_slot:
           self.entries[i] = None
+          if self._inv_index is not None and i < self._indexed_upto:
+            self._inv_index.remove(i)
 
   def add_keyframe(self, kf_slot: int, intensity: np.ndarray,
                    depth: np.ndarray, slam) -> Optional[LoopClosureEvent]:

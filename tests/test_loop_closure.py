@@ -256,3 +256,34 @@ def test_loop_closure_applied_on_drifted_map():
   T6 = video.frames[10].global_T_frame
   err = np.linalg.norm(T6[:3, 3] - traj[10][:3, 3])
   assert err < 0.04, f"revisit pose error {err:.3f} m (drift was 0.08)"
+
+
+def test_inverted_index_matches_dense_l1():
+  """DBoW2 inverted-file query == dense L1 scoring (for L1-normalized
+  nonnegative vectors 1 - 0.5*|v-w|_1 == sum min(v_i, w_i)), including
+  tombstoned entries."""
+  import numpy as np
+  from badslam_tpu.loop import bow
+  rng = np.random.default_rng(3)
+  W, D = 97, 23
+  def rand_bow():
+    v = np.zeros(W, np.float32)
+    idx = rng.choice(W, size=8, replace=False)
+    v[idx] = rng.uniform(0.1, 1.0, 8).astype(np.float32)
+    return v / v.sum()
+  db = [rand_bow() for _ in range(D)]
+  index = bow.InvertedIndex(W)
+  for i, v in enumerate(db):
+    if i == 7:
+      index.add(None)  # hole (entry id must still advance)
+      continue
+    assert index.add(v) == i
+  index.remove(11)
+  q = rand_bow()
+  got = index.query(q)
+  want = bow.l1_score(q, np.stack(db))
+  for i in range(D):
+    if i in (7, 11):
+      assert got[i] == 0.0
+    else:
+      np.testing.assert_allclose(got[i], want[i], atol=1e-6)
