@@ -91,8 +91,13 @@ def write_tum_dataset(
   from PIL import Image as PILImage
 
   cam = camera or synthetic.default_test_camera(width, height)
-  stamp = (f"{len(trajectory)} {width}x{height} {depth_scaling} {fps} "
-           f"{seed} {z_distance} {z_variation}")
+  # The stamp must identify the trajectory CONTENT, not just its length —
+  # two trajectories of equal length (e.g. loops=1 vs loops=2) must not
+  # alias to the same cached dataset.
+  import zlib
+  traj_hash = zlib.crc32(np.round(np.stack(trajectory), 9).tobytes())
+  stamp = (f"{len(trajectory)} {traj_hash:08x} {width}x{height} "
+           f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}")
   stamp_path = os.path.join(out_dir, ".generator_stamp")
   if os.path.exists(stamp_path):
     with open(stamp_path) as f:

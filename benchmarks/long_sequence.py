@@ -35,7 +35,11 @@ import numpy as np
 def ensure_dataset(path, frames, size):
   from badslam_tpu.utils import tum_synth
   w, h = (int(v) for v in size.split("x"))
-  traj = tum_synth.loop_trajectory(frames)
+  # TWO full circles: the entire second circle continuously revisits the
+  # first, so the loop-detection path is exercised throughout (one circle
+  # gives a ~1-keyframe revisit window at the very end, which the k=1
+  # temporal-consistency warm-up legitimately rejects — measured round 2).
+  traj = tum_synth.loop_trajectory(frames, loops=2.0)
   return tum_synth.write_tum_dataset(path, traj, width=w, height=h)
 
 
@@ -126,8 +130,14 @@ def main():
       "queue_drained": len(slam._queued_keyframes) == 0,
   }
   report["invariants"] = invariants
+  # The loop-detection path must actually have been EXERCISED (events may
+  # all be rejected as "BA will absorb it" on drift-free synthetic data, but
+  # zero events means the gate silently lost coverage).
+  loop_exercised = det is None or len(det.events) > 0
+  report["loop_path_exercised"] = bool(loop_exercised)
   report["pass"] = bool(report["ate_pass"] and all(invariants.values())
-                        and report.get("counters_consistent", True))
+                        and report.get("counters_consistent", True)
+                        and loop_exercised)
   print(json.dumps(report, indent=2), flush=True)
   if args.out:
     with open(args.out, "w") as f:
