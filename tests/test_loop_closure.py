@@ -287,3 +287,85 @@ def test_inverted_index_matches_dense_l1():
       assert got[i] == 0.0
     else:
       np.testing.assert_allclose(got[i], want[i], atol=1e-6)
+
+
+def test_loop_closure_applied_at_bow_scale():
+  """Closure through the TRAINED-vocabulary retrieval path: >=30 keyframes
+  (so BoW + inverted index are active, not the small-database signature
+  fallback), drift injected into the tail, a two-step revisit (the k=1
+  temporal-consistency warm-up needs two consecutive queries agreeing), and
+  the closure must verify, apply, and pull the revisit pose back."""
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.loop.detector import LoopDetector
+  from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils import synthetic
+
+  cam = synthetic.default_test_camera(160, 120)
+  rng = np.random.default_rng(7)
+  normals = []
+  for _ in range(3):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  normals = np.asarray(normals)
+
+  # Frames 0..69 drift away; frames 70 and 72 revisit frame 0's pose (70
+  # slightly offset so consecutive revisit queries exist).
+  n_away = 70
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.0022 * i, 0.0008 * i, 0, 0.0006 * i, 0, 0], jnp.float32)))
+      for i in range(n_away)]
+  near0 = np.asarray(se3.exp(jnp.asarray(
+      [0.004, 0.001, 0, 0, 0, 0], jnp.float32))) @ traj[0]
+  traj += [near0, near0, traj[0].copy()]
+  video = synthetic.make_synthetic_video(cam, traj, normals,
+                                         texture_kind="checker")
+
+  cfg = BadSlamConfig(
+      keyframe_interval=2, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      # BA off: dense BA against the (undrifted) map legitimately
+      # re-absorbs injected pose drift before the revisit — measured; with
+      # BA disabled the drift persists and the CLOSURE path must fix it.
+      max_num_ba_iterations_per_keyframe=0,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      parallel_ba=False)  # the test mutates poses synchronously
+  detector = LoopDetector(cfg, cam)
+  slam = BadSlam(cfg, video, loop_detector=detector)
+  for i in range(n_away):
+    slam.process_frame(i)
+  k = slam.direct_ba.keyframe_count
+  assert k == 35
+
+  # Ramped drift on the tail keyframes (locally consistent neighborhoods,
+  # as real accumulated drift is).
+  drift = 0.08
+  poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
+  ramp = {k - 3: 0.25 * drift, k - 2: 0.5 * drift, k - 1: drift}
+  for s, d in ramp.items():
+    poses[s][0, 3] += d
+  slam.direct_ba.kf = slam.direct_ba.kf._replace(
+      global_T_frame=jnp.asarray(poses))
+  slam.base_kf_global_T_frame = poses[k - 1]
+  for s, d in ramp.items():
+    video.frames[2 * s].global_T_frame = poses[s]
+
+  # Two revisit keyframes: the first warms the temporal-consistency gate,
+  # the second must close.
+  for f in (n_away, n_away + 1, n_away + 2):
+    slam.process_frame(f, force_keyframe=(f != n_away + 1))
+
+  assert detector.vocab is not None, "BoW vocabulary must be the active path"
+  assert detector.events, "no loop event at BoW scale"
+  applied = [e for e in detector.events if e.applied]
+  assert applied, ("closure not applied: "
+                   f"{[(e.matched_slot, e.reason) for e in detector.events]}")
+  assert applied[-1].matched_slot <= 2  # matched the start of the run
+
+  err = np.linalg.norm(
+      video.frames[n_away + 2].global_T_frame[:3, 3] - traj[-1][:3, 3])
+  assert err < 0.5 * drift, f"revisit pose error {err:.3f} m (drift {drift})"
