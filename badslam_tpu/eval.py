@@ -68,16 +68,61 @@ def evaluate_ate(est_path: str, gt_path: str, max_diff: float = 0.02,
   }
 
 
+def rpe(poses_est: np.ndarray, poses_gt: np.ndarray, delta: int = 1
+        ) -> Tuple[np.ndarray, np.ndarray]:
+  """Relative pose error over a fixed frame delta (TUM evaluate_rpe.py
+  semantics, the benchmark's drift metric): for each i, the error motion
+  E = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d}). Returns (translational errors
+  (m), rotational errors (rad)) — one entry per i."""
+  n = len(poses_est) - delta
+  terr = np.empty(n)
+  rerr = np.empty(n)
+  for i in range(n):
+    rel_p = np.linalg.inv(poses_est[i]) @ poses_est[i + delta]
+    rel_q = np.linalg.inv(poses_gt[i]) @ poses_gt[i + delta]
+    e = np.linalg.inv(rel_q) @ rel_p
+    terr[i] = np.linalg.norm(e[:3, 3])
+    rerr[i] = np.arccos(np.clip((np.trace(e[:3, :3]) - 1.0) / 2.0, -1, 1))
+  return terr, rerr
+
+
+def evaluate_rpe(est_path: str, gt_path: str, max_diff: float = 0.02,
+                 delta: int = 1) -> dict:
+  from badslam_tpu.io.dataset import read_tum_trajectory
+  ts_e, poses_e = read_tum_trajectory(est_path)
+  ts_g, poses_g = read_tum_trajectory(gt_path)
+  ia, ib = associate(ts_e, ts_g, max_diff)
+  if len(ia) < delta + 1:
+    raise ValueError("fewer than delta+1 associated poses")
+  terr, rerr = rpe(poses_e[ia], poses_g[ib], delta)
+  return {
+      "rpe_trans_rmse": float(np.sqrt(np.mean(terr ** 2))),
+      "rpe_trans_mean": float(terr.mean()),
+      "rpe_trans_max": float(terr.max()),
+      "rpe_rot_rmse_deg": float(np.degrees(np.sqrt(np.mean(rerr ** 2)))),
+      "rpe_rot_mean_deg": float(np.degrees(rerr.mean())),
+      "rpe_pairs": int(len(terr)),
+      "rpe_delta": int(delta),
+  }
+
+
 def main(argv=None) -> int:
-  p = argparse.ArgumentParser(description="ATE evaluation (TUM protocol)")
+  p = argparse.ArgumentParser(description="ATE/RPE evaluation (TUM protocol)")
   p.add_argument("estimated")
   p.add_argument("groundtruth")
   p.add_argument("--max_diff", type=float, default=0.02)
   p.add_argument("--sim3", action="store_true",
                  help="align with Sim(3) instead of SE(3)")
+  p.add_argument("--rpe", action="store_true",
+                 help="also report relative pose error (drift metric)")
+  p.add_argument("--rpe_delta", type=int, default=1,
+                 help="frame delta for RPE")
   args = p.parse_args(argv)
   result = evaluate_ate(args.estimated, args.groundtruth, args.max_diff,
                         args.sim3)
+  if args.rpe:
+    result.update(evaluate_rpe(args.estimated, args.groundtruth,
+                               args.max_diff, args.rpe_delta))
   for k, v in result.items():
     print(f"{k}: {v:.6f}" if isinstance(v, float) else f"{k}: {v}")
   return 0

@@ -135,3 +135,40 @@ def test_ba_scheme_with_deleted_slot_inside_watermark(use_pcg):
   # The deleted slot's pose is untouched (masked out of every phase).
   np.testing.assert_allclose(np.asarray(T[2]), deleted_pose_before,
                              rtol=0, atol=1e-6)
+
+
+def test_rpe_zero_for_identical_and_detects_drift(tmp_path):
+  """RPE (TUM evaluate_rpe.py semantics): zero for identical trajectories;
+  a constant per-frame translational bias shows up exactly (RPE is immune
+  to global alignment, unlike ATE)."""
+  from badslam_tpu.io.dataset import save_tum_trajectory
+
+  poses = []
+  for i in range(15):
+    T = np.asarray(se3.exp(jnp.asarray(
+        [0.05 * i, 0.01 * i, 0, 0, 0.02 * i, 0], jnp.float32)), np.float64)
+    poses.append(T)
+  ts = [i / 30.0 for i in range(15)]
+  gt = str(tmp_path / "gt.txt")
+  save_tum_trajectory(gt, ts, poses)
+
+  est_same = str(tmp_path / "same.txt")
+  save_tum_trajectory(est_same, ts, poses)
+  r = eval_mod.evaluate_rpe(est_same, gt)
+  assert r["rpe_trans_rmse"] < 1e-6
+  assert r["rpe_rot_rmse_deg"] < 1e-4
+
+  # Per-frame drift of 2 mm along the local x axis.
+  drifted = []
+  D = np.eye(4)
+  step = np.eye(4)
+  step[0, 3] = 0.002
+  for T in poses:
+    drifted.append(T @ D)
+    D = D @ step
+  est_drift = str(tmp_path / "drift.txt")
+  save_tum_trajectory(est_drift, ts, drifted)
+  r = eval_mod.evaluate_rpe(est_drift, gt)
+  # quaternion text round-trip + rotation interplay: ~2% slack
+  assert r["rpe_trans_rmse"] == pytest.approx(0.002, rel=0.05)
+  assert r["rpe_pairs"] == 14
