@@ -113,6 +113,18 @@ def build_parser() -> argparse.ArgumentParser:
                  help="save a full SLAM state snapshot (.npz) at the end")
   p.add_argument("--load_state", default=None,
                  help="restore a state snapshot before processing")
+  p.add_argument("--render_preview", default=None,
+                 help="render the final surfel map from keyframe viewpoints"
+                      " into this directory (headless stand-in for the"
+                      " reference's render window, render_window.cc)")
+  p.add_argument("--render_mode", default="color",
+                 choices=["color", "normals", "descriptors", "activation"],
+                 help="surfel display coloring"
+                      " (kernel_update_visualization.cu modes)")
+  p.add_argument("--splat_half_extent_in_pixels", type=float, default=3.0,
+                 help="screen-space splat half-extent (main.cc:285-287)")
+  p.add_argument("--render_every", type=int, default=1,
+                 help="render every Nth keyframe viewpoint")
   p.add_argument("--quiet", action="store_true")
   p.add_argument("--log_level", default=None,
                  choices=["debug", "info", "warning", "error", "fatal"],
@@ -267,6 +279,14 @@ def run(args) -> int:
     export_reconstruction(slam, args.export_reconstruction,
                           args.reconstruction_sparsification,
                           quiet=args.quiet)
+  if args.render_preview:
+    from badslam_tpu import render as render_mod
+    n = render_mod.render_keyframe_previews(
+        slam, args.render_preview, mode=args.render_mode,
+        splat_half_extent_in_pixels=args.splat_half_extent_in_pixels,
+        every=args.render_every, quiet=args.quiet)
+    if not args.quiet:
+      print(f"Rendered {n} keyframe previews into {args.render_preview}")
   if slam.direct_ba.timings_stream is not None:
     slam.direct_ba.timings_stream.close()
     slam.direct_ba.timings_stream = None

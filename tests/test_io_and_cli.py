@@ -92,8 +92,15 @@ def test_cli_end_to_end(tmp_path):
       "--export_poses", poses_path,
       "--export_point_cloud", ply_path,
       "--export_final_timings", timings_path,
+      "--render_preview", str(tmp_path / "previews"),
+      "--render_every", "2", "--splat_half_extent_in_pixels", "2.0",
   ])
   assert rc == 0
+
+  # Keyframes at interval 2 over 6 frames -> 3 keyframes; every 2nd rendered.
+  previews = sorted(os.listdir(tmp_path / "previews"))
+  assert len([f for f in previews if f.endswith("_color.png")]) == 2
+  assert len([f for f in previews if f.endswith("_depth.png")]) == 2
 
   # Exported trajectory: parseable TUM format, poses near ground truth.
   ts, poses = dataset_io.read_tum_trajectory(poses_path)
