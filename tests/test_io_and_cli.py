@@ -190,6 +190,28 @@ def test_state_snapshot_roundtrip(tmp_path):
   slam2.process_frame(4, force_keyframe=True)
   assert np.isfinite(video2.frames[4].global_T_frame).all()
 
+  # The snapshot inspector summarizes/renders/exports without a dataset
+  # (the keyframe-dialog / status-display analog, badslam_tpu/inspect.py).
+  from badslam_tpu.inspect import main as inspect_main
+  import contextlib, io
+  ply = str(tmp_path / "insp.ply")
+  poses = str(tmp_path / "insp_poses.txt")
+  rdir = str(tmp_path / "insp_render")
+  buf = io.StringIO()
+  with contextlib.redirect_stdout(buf):
+    rc = inspect_main([path, "--export_point_cloud", ply,
+                       "--export_poses", poses, "--render", rdir,
+                       "--render_mode", "normals", "--render_every", "2"])
+  assert rc == 0
+  out = buf.getvalue()
+  assert "keyframes: " in out and "surfels: " in out and "BA: " in out
+  pos_ply, _, _ = state_io.load_point_cloud_ply(ply)
+  assert len(pos_ply) == slam.direct_ba.surfel_count
+  ts_out, poses_out = dataset_io.read_tum_trajectory(poses)
+  assert len(ts_out) == 5
+  rendered = [f for f in os.listdir(rdir) if f.endswith("_color.png")]
+  assert len(rendered) == (slam.direct_ba.keyframe_count + 1) // 2
+
 
 def test_calibration_roundtrip(tmp_path):
   cam = synthetic.default_test_camera(W, H)
