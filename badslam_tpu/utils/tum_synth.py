@@ -73,6 +73,27 @@ def straight_trajectory(num_frames: int, step=None) -> List[np.ndarray]:
           for i in range(num_frames)]
 
 
+def apply_sensor_noise(depth: np.ndarray, intensity: np.ndarray,
+                       rng: np.random.Generator,
+                       depth_sigma=(0.0012, 0.0019),
+                       dropout: float = 0.002,
+                       intensity_sigma: float = 2.0 / 255.0,
+                       exposure_jitter: float = 0.02):
+  """Kinect-class RGB-D sensor noise (Khoshelham & Elberink 2012 axial
+  model): depth sigma = s0 + s1*(z-0.4)^2 meters, random invalid dropouts,
+  photon/readout intensity noise, and a per-frame exposure gain wobble.
+  Downstream u16/u8 quantization is applied by the writer as usual."""
+  z = depth
+  sigma = depth_sigma[0] + depth_sigma[1] * np.square(
+      np.maximum(z - 0.4, 0.0))
+  z = np.where(z > 0.0, z + rng.normal(size=z.shape) * sigma, 0.0)
+  z = np.where(rng.random(z.shape) < dropout, 0.0, z)
+  gain = 1.0 + rng.uniform(-exposure_jitter, exposure_jitter)
+  i = np.clip(intensity * gain
+              + rng.normal(size=intensity.shape) * intensity_sigma, 0.0, 1.0)
+  return z.astype(np.float32), i.astype(np.float32)
+
+
 def write_tum_dataset(
     out_dir: str,
     trajectory: List[np.ndarray],
@@ -84,6 +105,7 @@ def write_tum_dataset(
     z_distance: float = 1.0,
     z_variation: float = 0.05,
     camera: Optional[PinholeCamera] = None,
+    sensor_noise: bool = False,
     quiet: bool = False,
 ) -> str:
   """Render + write the dataset; returns out_dir. Skips rendering when the
@@ -97,7 +119,8 @@ def write_tum_dataset(
   import zlib
   traj_hash = zlib.crc32(np.round(np.stack(trajectory), 9).tobytes())
   stamp = (f"{len(trajectory)} {traj_hash:08x} {width}x{height} "
-           f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}")
+           f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}"
+           f"{' noise' if sensor_noise else ''}")
   stamp_path = os.path.join(out_dir, ".generator_stamp")
   if os.path.exists(stamp_path):
     with open(stamp_path) as f:
@@ -120,6 +143,10 @@ def write_tum_dataset(
     depth, inten = synthetic.render_heightmap(
         cam, T, z_distance=z_distance, z_variation=z_variation, seed=seed,
         raw_to_float_depth=1.0 / depth_scaling)
+    if sensor_noise:
+      rng = np.random.default_rng(1000003 * seed + i)
+      depth, inten = apply_sensor_noise(np.asarray(depth), np.asarray(inten),
+                                        rng)
     u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
     rgb = np.stack([u8, u8, u8], axis=-1)
     raw_u16 = np.floor(depth * depth_scaling + 0.5).astype(np.uint16)
@@ -155,6 +182,8 @@ def main():
   p.add_argument("--radius", type=float, default=0.25)
   p.add_argument("--depth_scaling", type=float, default=5000.0)
   p.add_argument("--seed", type=int, default=5)
+  p.add_argument("--noise", action="store_true",
+                 help="apply the Kinect-class sensor-noise model")
   args = p.parse_args()
   w, h = (int(v) for v in args.size.split("x"))
   if args.trajectory == "loop":
@@ -162,7 +191,8 @@ def main():
   else:
     traj = straight_trajectory(args.frames)
   write_tum_dataset(args.out_dir, traj, width=w, height=h,
-                    depth_scaling=args.depth_scaling, seed=args.seed)
+                    depth_scaling=args.depth_scaling, seed=args.seed,
+                    sensor_noise=args.noise)
   print(f"wrote {args.frames} frames to {args.out_dir}")
 
 

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def ensure_dataset(path, frames, size):
+def ensure_dataset(path, frames, size, noise=False):
   from badslam_tpu.utils import tum_synth
   w, h = (int(v) for v in size.split("x"))
   # TWO full circles: the entire second circle continuously revisits the
@@ -40,7 +40,8 @@ def ensure_dataset(path, frames, size):
   # gives a ~1-keyframe revisit window at the very end, which the k=1
   # temporal-consistency warm-up legitimately rejects — measured round 2).
   traj = tum_synth.loop_trajectory(frames, loops=2.0)
-  return tum_synth.write_tum_dataset(path, traj, width=w, height=h)
+  return tum_synth.write_tum_dataset(path, traj, width=w, height=h,
+                                     sensor_noise=noise)
 
 
 def main():
@@ -51,6 +52,8 @@ def main():
   p.add_argument("--keyframe_interval", type=int, default=10)
   p.add_argument("--sequential", action="store_true",
                  help="sequential BA + detection (deterministic baseline)")
+  p.add_argument("--noise", action="store_true",
+                 help="apply the Kinect-class sensor-noise model")
   p.add_argument("--out", default=None)
   args = p.parse_args()
 
@@ -59,7 +62,7 @@ def main():
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.slam.system import BadSlam
 
-  ensure_dataset(args.dataset, args.frames, args.size)
+  ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise)
   video = dataset_io.load_tum_dataset(args.dataset, None)
   video.enable_native_prefetch()
   n = min(args.frames, video.frame_count())
@@ -72,7 +75,8 @@ def main():
       enable_loop_detection=True,
   )
   slam = BadSlam(cfg, video)
-  report = {"frames": n, "parallel": not args.sequential}
+  report = {"frames": n, "parallel": not args.sequential,
+            "noise": args.noise}
 
   t0 = time.perf_counter()
   for i in range(n):
