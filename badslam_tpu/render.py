@@ -66,6 +66,10 @@ def render_surfel_splats(
   n = pos.shape[0]
   n_pix = height * width
 
+  if n == 0:  # empty map: every pixel misses
+    depth = jnp.zeros((height, width), jnp.float32)
+    return depth, jnp.zeros((height, width, 3), jnp.float32), depth > 0
+
   chunk = min(_RENDER_CHUNK, n)
   n_chunks = -(-n // chunk)
   pad = n_chunks * chunk - n
@@ -172,10 +176,15 @@ def render_map(ba, frame_T_global: np.ndarray, mode: str = "color",
   cam: PinholeCamera = ba.color_camera()
   if resolution is not None:
     height, width = resolution
-    cam = cam.scaled(width / ba.color_size[0])
+    # Anisotropic rescale so a non-proportional target keeps the full field
+    # of view on both axes instead of cropping/squashing one.
+    sx = width / ba.color_size[0]
+    sy = height / ba.color_size[1]
+    intr = jnp.asarray([cam.fx * sx, cam.fy * sy, cam.cx * sx, cam.cy * sy],
+                       jnp.float32)
   else:
     width, height = ba.color_size
-  intr = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+    intr = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
   colors = surfel_display_colors(ba.surfels, mode)
   depth, color, hit = render_surfel_splats(
       ba.surfels.pos, colors, ba.surfels.valid,

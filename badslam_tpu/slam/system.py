@@ -542,21 +542,36 @@ class BadSlam:
     while True:
       with self._ba_condition:
         self._ba_busy = False
-        while not self._parallel_iteration_queue and not self._quit_requested:
+        while (not self._parallel_iteration_queue
+               and not self._merge_requested and not self._quit_requested):
           self._ba_condition.wait(timeout=0.1)
         if self._quit_requested:
           return
         self._ba_busy = True
-        options = self._parallel_iteration_queue.pop(0)
-        self._drain_keyframe_queue_locked()
+        # A merge request alone (empty iteration queue) still wakes the
+        # thread: memory pressure must be serviced even when no BA
+        # iterations are planned.
+        options = (self._parallel_iteration_queue.pop(0)
+                   if self._parallel_iteration_queue else None)
         merge_requested = self._merge_requested
         self._merge_requested = False
-        original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
 
+      # Merge BEFORE draining the keyframe queue so the memory is freed
+      # before the queued keyframes' device stacks are allocated — the
+      # reference's watchdog likewise merges ahead of the new keyframe's
+      # allocation (bad_slam.cc:958-997). Map-state writes are safe off the
+      # lock: this thread is the single map writer in parallel mode.
       if merge_requested:
         deleted = self.direct_ba.merge_keyframes(self.loop_detector)
         if deleted:
           log.warning(f"low device memory; merged {deleted} keyframe(s)")
+
+      with self._ba_lock:
+        self._drain_keyframe_queue_locked()
+        original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
+
+      if options is None:
+        continue
 
       # One BA iteration over all keyframes (the BA thread never uses
       # deactivation or PCG, bad_slam.cc:1268-1289).

@@ -120,6 +120,7 @@ def write_tum_dataset(
   traj_hash = zlib.crc32(np.round(np.stack(trajectory), 9).tobytes())
   stamp = (f"{len(trajectory)} {traj_hash:08x} {width}x{height} "
            f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}"
+           f" {float(cam.fx)},{float(cam.fy)},{float(cam.cx)},{float(cam.cy)}"
            f"{' noise' if sensor_noise else ''}")
   stamp_path = os.path.join(out_dir, ".generator_stamp")
   if os.path.exists(stamp_path):
