@@ -224,15 +224,31 @@ def config3_self_calibration(width, height):
 
 
 def config4_multichip():
-  """Virtual-mesh distributed BA parity (the driver separately dry-runs the
-  sharded step on N devices)."""
+  """Multi-device distributed BA (the driver separately dry-runs the
+  sharded step on N devices). With a single visible device the dryrun is
+  re-run in a subprocess on a virtual 8-device CPU mesh — functional
+  validation only, marked `virtual` (virtual devices share host cores, so
+  no timing claim attaches)."""
   import jax
   n = len(jax.devices())
-  if n < 2:
-    return {"skipped": f"only {n} device(s)", "pass": None}
-  import __graft_entry__ as ge
-  ge.dryrun_multichip(min(n, 8))
-  return {"devices": min(n, 8), "dryrun": "ok", "pass": True}
+  if n >= 2:
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(min(n, 8))
+    return {"devices": min(n, 8), "dryrun": "ok",
+            "virtual": jax.default_backend() == "cpu", "pass": True}
+  import subprocess
+  env = {**os.environ, "JAX_PLATFORMS": "cpu",
+         "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                       + " --xla_force_host_platform_device_count=8").strip()}
+  env.pop("PALLAS_AXON_POOL_IPS", None)  # axon plugin slows CPU compiles ~6x
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  r = subprocess.run(
+      [sys.executable, "-c", "import __graft_entry__ as ge; "
+                             "ge.dryrun_multichip(8)"],
+      cwd=root, env=env, capture_output=True, text=True, timeout=1200)
+  if r.returncode != 0:
+    return {"error": r.stderr[-500:], "pass": False}
+  return {"devices": 8, "dryrun": "ok", "virtual": True, "pass": True}
 
 
 def main():

@@ -27,7 +27,8 @@ from badslam_tpu.utils import synthetic
 W, H = 160, 120
 
 
-def _make_slam(n_frames, keyframe_interval=2, loop_detection=True):
+def _make_slam(n_frames, keyframe_interval=2, loop_detection=True,
+               ba_iterations_per_keyframe=5):
   cam = synthetic.default_test_camera(W, H)
   traj = [np.asarray(se3.exp(jnp.asarray(
       [0.002 * i, 0.0008 * i, -0.0004 * i, 0.0004 * i, -0.0002 * i,
@@ -35,7 +36,7 @@ def _make_slam(n_frames, keyframe_interval=2, loop_detection=True):
   video = synthetic.make_heightmap_video(cam, traj)
   cfg = BadSlamConfig(
       keyframe_interval=keyframe_interval,
-      max_num_ba_iterations_per_keyframe=5,
+      max_num_ba_iterations_per_keyframe=ba_iterations_per_keyframe,
       odometry_convergence_threshold=1e-11,
       num_scales=4, max_depth=5.0, sparse_surfel_cell_size=2,
       min_observation_count_while_bootstrapping_1=1,
@@ -92,6 +93,35 @@ def test_parallel_ba_detection_and_merges_under_load():
   errs = [np.linalg.norm(video.frames[i].global_T_frame[:3, 3]
                          - traj[i][:3, 3]) for i in range(30)]
   assert max(errs) < 2e-2, f"drift {max(errs) * 1000:.1f} mm"
+
+
+def test_merge_serviced_with_empty_iteration_queue():
+  """With max_num_ba_iterations_per_keyframe=0 no BA iterations are ever
+  queued, yet a memory-pressure merge request must still wake the BA thread
+  and be serviced (the reference's watchdog is independent of BA planning,
+  bad_slam.cc:958-968)."""
+  import time
+  slam, traj, video = _make_slam(14, loop_detection=False,
+                                 ba_iterations_per_keyframe=0)
+  for i in range(14):
+    slam.process_frame(i)
+  # With zero planned iterations the BA thread never wakes to drain the
+  # keyframe queue (reference semantics: draining happens inside
+  # BAThreadMain's iteration wakeups, bad_slam.cc:1204-1257); register the
+  # queued keyframes without stopping the thread.
+  slam.quiesce()
+  assert slam.direct_ba.keyframe_count >= 6
+  before = int(np.asarray(slam.direct_ba.kf.valid).sum())
+  slam.request_keyframe_merge()
+  deadline = time.monotonic() + 30.0
+  while time.monotonic() < deadline:
+    if int(np.asarray(slam.direct_ba.kf.valid).sum()) < before:
+      break
+    time.sleep(0.02)
+  after = int(np.asarray(slam.direct_ba.kf.valid).sum())
+  assert after < before, "merge request never serviced without BA iterations"
+  slam.stop_ba_thread_and_wait()
+  _check_invariants(slam, before - after)
 
 
 def test_parallel_shutdown_with_pending_work():
