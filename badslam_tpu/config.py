@@ -91,6 +91,10 @@ class BadSlamConfig:
   # PCG solver settings (bad_slam.h:132-133 defaults).
   pcg_max_inner_iterations: int = 30
   pcg_max_keyframe_count: int = 2500
+  # Gather active+covisible keyframes into a power-of-two window before the
+  # O(K x surfels) BA phases so device work scales with the active set (the
+  # reference's activation windowing, direct_ba_alternating.cc:543-577).
+  use_active_kf_window: bool = True
 
   def get_loop_detection_image_frequency(self, dataset_fps: float = 30.0) -> float:
     """bad_slam_config.h:367-370: falls back to the dataset frame rate."""

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--keyframe_interval", type=int, default=10)
   p.add_argument("--max_num_ba_iterations_per_keyframe", type=int, default=10)
   p.add_argument("--use_deactivation", action="store_true")
+  p.add_argument("--no_active_kf_window", action="store_true",
+                 help="disable gathering active keyframes into a bucketed "
+                      "window before the BA phases")
   p.add_argument("--no_geometric_residuals", action="store_true")
   p.add_argument("--no_photometric_residuals", action="store_true")
   p.add_argument("--optimize_intrinsics", action="store_true")
@@ -164,6 +167,7 @@ def config_from_args(args) -> BadSlamConfig:
       max_num_ba_iterations_per_keyframe=(
           args.max_num_ba_iterations_per_keyframe),
       disable_deactivation=not args.use_deactivation,
+      use_active_kf_window=not args.no_active_kf_window,
       use_geometric_residuals=not args.no_geometric_residuals,
       use_photometric_residuals=not args.no_photometric_residuals,
       optimize_intrinsics=args.optimize_intrinsics,

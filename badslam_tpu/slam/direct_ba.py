@@ -280,6 +280,46 @@ def _assign_colors_jit(
 
 
 @jax.jit
+def _gather_kf_window_jit(kf: KeyframeStore, idx: jax.Array) -> KeyframeStore:
+  """Gather the participating (non-inactive) keyframes into a small windowed
+  store so the O(K·N) BA phases pay for the ACTIVE set, not the full store.
+
+  This is the TPU-native equivalent of the reference's host-side skipping of
+  inactive keyframes (direct_ba_alternating.cc:543-577): static shapes rule
+  out data-dependent sizes inside jit, so the window is a bucketed
+  (power-of-two) dense gather built on the host from one activation readback
+  the scheme loop performs anyway. Padded slots carry ``idx == capacity``:
+  the gather clips them (values masked via ``valid=False``) and the scatter
+  drops them.
+  """
+  safe = jnp.clip(idx, 0, kf.capacity - 1)
+  real = idx < kf.capacity
+  take = lambda x: jnp.take(x, safe, axis=0)
+  covis = kf.covis[safe][:, safe] & real[:, None] & real[None, :]
+  return kf._replace(
+      depth=take(kf.depth), normals=take(kf.normals),
+      radius_sq=take(kf.radius_sq), intensity=take(kf.intensity),
+      rgb=take(kf.rgb), global_T_frame=take(kf.global_T_frame),
+      frame_index=jnp.where(real, take(kf.frame_index), -1),
+      min_depth=take(kf.min_depth), max_depth=take(kf.max_depth),
+      valid=take(kf.valid) & real,
+      activation=jnp.where(real, take(kf.activation), INACTIVE),
+      covis=covis,
+      count=jnp.asarray(idx.shape[0], jnp.int32))
+
+
+@jax.jit
+def _scatter_kf_window_jit(kf: KeyframeStore, win: KeyframeStore,
+                           idx: jax.Array) -> KeyframeStore:
+  """Write the window's optimized poses/activation back into the full store
+  (padded slots have idx == capacity and are dropped)."""
+  return kf._replace(
+      global_T_frame=kf.global_T_frame.at[idx].set(
+          win.global_T_frame, mode="drop"),
+      activation=kf.activation.at[idx].set(win.activation, mode="drop"))
+
+
+@jax.jit
 def _determine_covisible_active_jit(kf: KeyframeStore) -> KeyframeStore:
   """kInactive keyframes covisible with a kActive one become kCovisibleActive
   (DirectBA::DetermineCovisibleActiveKeyframes, direct_ba.cc:549-564)."""
@@ -553,14 +593,37 @@ class DirectBA:
         self._mesh_place()
         self.kf = _determine_covisible_active_jit(self.kf)
 
+      # One fused device->host read per iteration: activation with -1 for
+      # invalid slots. Drives both newly-active surfel creation and the
+      # active-window gather below.
+      act_valid = np.asarray(
+          jnp.where(self.kf.valid, self.kf.activation, -1))
+
+      # --- ACTIVE-KEYFRAME WINDOW ---
+      # The dense BA phases cost O(store_capacity x surfels) regardless of
+      # activation; when the participating (active + covisible-active) set is
+      # much smaller than the store, gather it into a power-of-two bucketed
+      # window so device work scales with the active set — the reference's
+      # activation windowing (direct_ba_alternating.cc:543-577), realized as
+      # a gather instead of host-side skipping (static shapes). PCG and mesh
+      # mode keep the full store (sharded layouts are per-capacity).
+      use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
+      window_idx = None
+      if (self.mesh is None and not use_pcg
+          and self.config.use_active_kf_window):
+        part = np.flatnonzero(act_valid >= COVISIBLE_ACTIVE)
+        if len(part):
+          wsize = max(4, 1 << int(np.ceil(np.log2(len(part)))))
+          if wsize <= self.kf.capacity // 2:
+            padded = np.full(wsize, self.kf.capacity, np.int32)
+            padded[:len(part)] = part
+            window_idx = jnp.asarray(padded)
+
       # --- SURFEL CREATION for newly-active keyframes ---
       old_valid = self.surfels.valid
       keyframes_with_new_surfels: List[int] = []
       if optimize_geometry and do_surfel_updates:
         with Timing.time("BA surfel creation"):
-          # One fused device->host read: activation with -1 for invalid slots.
-          act_valid = np.asarray(
-              jnp.where(self.kf.valid, self.kf.activation, -1))
           for i in range(kcount):
             if act_valid[i] < 0:
               continue
@@ -570,6 +633,11 @@ class DirectBA:
               keyframes_with_new_surfels.append(i)
           for i in keyframes_with_new_surfels:
             self.create_surfels_for_keyframe(i, filter_new_surfels=True)
+
+      # The gathered window (the creation pass above does not mutate the
+      # keyframe store, so gathering here sees the iteration's final state).
+      kf_phase = (self.kf if window_idx is None
+                  else _gather_kf_window_jit(self.kf, window_idx))
 
       # --- SURFEL ACTIVATION ---
       with Timing.time("BA surfel activation"):
@@ -583,11 +651,10 @@ class DirectBA:
           self.surfels = self.surfels._replace(active=self.surfels.valid)
         else:
           self.surfels = _surfel_activation_jit(
-              self.surfels, self.kf, self.depth_intr, self.a, self.cfactor,
+              self.surfels, kf_phase, self.depth_intr, self.a, self.cfactor,
               self.baseline_fx, new_surfels, w, h, self.cell_size)
 
       # --- GEOMETRY OPTIMIZATION (alternating) or JOINT PCG STEP ---
-      use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
       # Under PCG the intrinsics unknowns fold into the joint vector
       # (direct_ba_pcg.cc:240-307) instead of the alternated Schur step.
       pcg_dintr = (use_pcg and optimize_depth_intrinsics
@@ -615,7 +682,7 @@ class DirectBA:
       elif optimize_geometry:
         with Timing.time("BA geometry optimization"):
           self.surfels = _geometry_iteration_jit(
-              self.surfels, self.kf, self.depth_intr, self.color_intr,
+              self.surfels, kf_phase, self.depth_intr, self.color_intr,
               self.a, self.cfactor, self.baseline_fx,
               w, h, cw, ch, self.cell_size,
               self.use_depth_residuals, self.use_descriptor_residuals)
@@ -641,14 +708,30 @@ class DirectBA:
           num_converged = 0
       elif optimize_poses:
         with Timing.time("BA pose optimization"):
-          self.kf, num_converged_dev = _pose_optimization_jit(
-              self.surfels, self.kf, self.depth_intr, self.color_intr,
-              self.a, self.cfactor, self.baseline_fx,
-              w, h, cw, ch, self.cell_size,
-              self.use_depth_residuals, self.use_descriptor_residuals,
-              max_inner_pose_iterations)
-          # One scalar read (the jitted phase already computed the count).
-          num_converged = int(num_converged_dev)
+          if window_idx is None:
+            self.kf, num_converged_dev = _pose_optimization_jit(
+                self.surfels, self.kf, self.depth_intr, self.color_intr,
+                self.a, self.cfactor, self.baseline_fx,
+                w, h, cw, ch, self.cell_size,
+                self.use_depth_residuals, self.use_descriptor_residuals,
+                max_inner_pose_iterations)
+            # One scalar read (the jitted phase already computed the count).
+            num_converged = int(num_converged_dev)
+          else:
+            kf_win, num_conv_win = _pose_optimization_jit(
+                self.surfels, kf_phase, self.depth_intr, self.color_intr,
+                self.a, self.cfactor, self.baseline_fx,
+                w, h, cw, ch, self.cell_size,
+                self.use_depth_residuals, self.use_descriptor_residuals,
+                max_inner_pose_iterations)
+            self.kf = _scatter_kf_window_jit(self.kf, kf_win, window_idx)
+            # Window convergence: padded + converged window slots count in
+            # num_conv_win; every keyframe OUTSIDE the window is INACTIVE
+            # (or deleted) and therefore converged, so
+            #   still_active = wsize - num_conv_win
+            #   num_converged = kcount - still_active.
+            num_converged = kcount - (window_idx.shape[0]
+                                      - int(num_conv_win))
 
       # --- INTRINSICS OPTIMIZATION (alternated; skipped for the unknowns
       # the joint PCG step above already solved) ---
