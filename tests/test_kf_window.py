@@ -88,6 +88,25 @@ def test_active_window_matches_full_store():
     assert int(ba_win.kf.activation[i]) == 0
 
 
+def test_fixed_window_final_ba_uses_gather():
+  """Windowed final BA (main.cc:726-750 protocol): an explicit
+  active_keyframe_window with few keyframes buckets small enough for the
+  gather to engage; results must match the dense path."""
+  results = []
+  for use_window in (False, True):
+    ba = _build(use_window=use_window)
+    r = ba.bundle_adjustment(do_surfel_updates=False, optimize_poses=True,
+                             optimize_geometry=True, max_iterations=2,
+                             active_keyframe_window_start=1,
+                             active_keyframe_window_end=3)
+    results.append((r, np.asarray(ba.kf.global_T_frame),
+                    np.asarray(ba.kf.activation)))
+  (r_f, poses_f, act_f), (r_w, poses_w, act_w) = results
+  assert r_f == r_w
+  np.testing.assert_allclose(poses_w, poses_f, rtol=0, atol=1e-5)
+  assert (act_w == act_f).all()
+
+
 def test_window_disabled_when_set_spans_store():
   """All keyframes active: the bucketed window cannot shrink below
   capacity // 2, so the dense path runs (and still converges)."""
