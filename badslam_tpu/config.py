@@ -87,7 +87,11 @@ class BadSlamConfig:
   # Keyframe store starting capacity; grows by doubling (bounded recompiles).
   initial_keyframe_capacity: int = 16
   # Surfel store starting capacity; grows by doubling up to max_surfel_count.
-  initial_surfel_capacity: int = 1 << 18
+  # Kept tight on purpose: dense phases cost O(capacity), so an oversized
+  # store taxes every BA iteration — growth doubling bounds capacity to <2x
+  # the live watermark, and the persistent jit cache amortizes the handful
+  # of per-bucket recompiles.
+  initial_surfel_capacity: int = 1 << 16
   # PCG solver settings (bad_slam.h:132-133 defaults).
   pcg_max_inner_iterations: int = 30
   pcg_max_keyframe_count: int = 2500
