@@ -34,15 +34,10 @@ REFERENCE_KF_ITERS_PER_S = 30.0
 
 
 def _enable_compile_cache():
-  import jax
   import os
-  cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".jax_cache")
-  try:
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-  except Exception:
-    pass
+  from badslam_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache(os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main():

@@ -54,13 +54,9 @@ def main():
 
   import jax
   import jax.numpy as jnp
-  cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), ".jax_cache")
-  try:
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-  except Exception:
-    pass
+  from badslam_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), ".jax_cache"))
 
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.geometry import se3
