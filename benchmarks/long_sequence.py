@@ -32,16 +32,108 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def ensure_dataset(path, frames, size, noise=False):
+def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0):
   from badslam_tpu.utils import tum_synth
   w, h = (int(v) for v in size.split("x"))
-  # TWO full circles: the entire second circle continuously revisits the
-  # first, so the loop-detection path is exercised throughout (one circle
-  # gives a ~1-keyframe revisit window at the very end, which the k=1
-  # temporal-consistency warm-up legitimately rejects — measured round 2).
-  traj = tum_synth.loop_trajectory(frames, loops=2.0)
+  # Default: TWO full circles of a small (0.25 m) orbit — the entire second
+  # circle continuously revisits the first, so the loop-DETECTION path is
+  # exercised throughout (one circle gives a ~1-keyframe revisit window at
+  # the very end, which the k=1 temporal-consistency warm-up legitimately
+  # rejects — measured round 2). Continuous covisibility also means
+  # frame-to-model BA absorbs drift, so detections are correctly IGNORED.
+  # Drift mode overrides to a wide excursion (radius 2 m, 1.15 loops): the
+  # camera footprint (~2.7 m at 1 m range) loses all overlap with the start
+  # region mid-circle, injected drift accumulates unobserved, and the final
+  # revisit arc requires an APPLIED explicit closure.
+  traj = tum_synth.loop_trajectory(frames, radius=radius, loops=loops)
   return tum_synth.write_tum_dataset(path, traj, width=w, height=h,
                                      sensor_noise=noise)
+
+
+def make_biased_slam(slam_cls, bias_m_for_frame):
+  """Wrap a BadSlam subclass so the tracked relative pose of frame i picks up
+  a `bias_m_for_frame(i)`-meter translation bias (+x in the frame's local
+  axes) — the synthetic stand-in for odometry error.
+
+  Two schedules are used by this harness:
+
+  * constant per-frame DRIFT (`--drift`): measures the system's absorption
+    behavior. Measured result (round 2): per-keyframe frame-to-model BA
+    re-snaps each keyframe against the covisible local map, so smooth drift
+    well inside the association band (Tukey 10 x sigma ~= 0.25 m at 1 m
+    depth) NEVER accumulates — 0.1 m of injected cumulative drift lands at
+    0.13 mm final ATE with every loop candidate correctly ignored by the
+    is-BA-enough test. That mirrors the reference: its 1-px reprojection
+    test exists precisely because BA absorbs everything small
+    (loop_detector.cc:624-666).
+
+  Note the tracker re-derives base_T_frame from IMAGES each frame, so a
+  per-frame bias does not accumulate within a keyframe interval — only the
+  bias present at keyframe creation enters the keyframe chain. That is why
+  `--kidnap` uses `make_kidnapped_slam` below instead of a bias schedule.
+  """
+  from badslam_tpu.geometry import se3_np
+
+  class BiasedSlam(slam_cls):
+    def run_odometry(self, frame_index, processed):
+      super().run_odometry(frame_index, processed)
+      b = bias_m_for_frame(frame_index)
+      if b == 0.0 or not self.base_kf_tr_frame:
+        return
+      bias = np.eye(4, dtype=np.float32)
+      bias[0, 3] = b
+      # Post-compose the bias into the accepted relative pose and re-derive
+      # everything run_odometry wrote from it (frame pose + motion-model
+      # history), so the bias propagates into keyframes and the map.
+      drifted = se3_np.orthonormalize(self.base_kf_tr_frame[-1] @ bias)
+      self.base_kf_tr_frame[-1] = drifted
+      self.frame_tr_base_kf[-1] = se3_np.inverse(drifted)
+      with self._ba_lock:
+        self.rgbd_video.frames[frame_index].global_T_frame = (
+            self.base_kf_global_T_frame @ drifted)
+
+  return BiasedSlam
+
+
+def make_kidnapped_slam(slam_cls, offset_m, at_frame):
+  """Wrap a BadSlam subclass so ONE keyframe-to-keyframe odometry edge (the
+  first keyframe created at/after `at_frame`) carries an `offset_m` error —
+  the one scenario that genuinely requires an APPLIED loop closure.
+
+  A discontinuity larger than the association pull-in band (Tukey 10 x
+  sigma ~= 0.25 m at 1 m depth), injected out in non-covisible terrain,
+  cannot be re-snapped by BA (no associations bridge the jump): the offset
+  bakes into every later keyframe and surfel, and only the detection ->
+  RANSAC -> refinement -> pose-graph -> trajectory-deformation chain can
+  repair it at the revisit.
+
+  The bias is composed into the tracked relative pose immediately before
+  keyframe creation, so it flows through all three consumers at once: the
+  new keyframe's global pose, the queued relative pose used by the parallel-
+  BA fixup, and the motion-model rebase (which divides by the biased last
+  pose, cancelling the bias out of the history — tracking continues
+  smoothly on the kidnapped branch).
+  """
+  from badslam_tpu.geometry import se3_np
+
+  class KidnappedSlam(slam_cls):
+    _kidnap_pending = True
+
+    def create_keyframe(self, frame_index, processed):
+      if (self._kidnap_pending and frame_index >= at_frame
+          and self.base_kf_tr_frame):
+        self._kidnap_pending = False
+        bias = np.eye(4, dtype=np.float32)
+        bias[0, 3] = offset_m
+        drifted = se3_np.orthonormalize(self.base_kf_tr_frame[-1] @ bias)
+        self.base_kf_tr_frame[-1] = drifted
+        self.frame_tr_base_kf[-1] = se3_np.inverse(drifted)
+        with self._ba_lock:
+          self.rgbd_video.frames[frame_index].global_T_frame = (
+              self.base_kf_global_T_frame @ drifted)
+      super().create_keyframe(frame_index, processed)
+
+  return KidnappedSlam
 
 
 def main():
@@ -54,15 +146,38 @@ def main():
                  help="sequential BA + detection (deterministic baseline)")
   p.add_argument("--noise", action="store_true",
                  help="apply the Kinect-class sensor-noise model")
+  p.add_argument("--drift", type=float, default=0.0, metavar="M_PER_FRAME",
+                 help="inject constant odometry translation drift; gate "
+                      "verifies BA ABSORBS it (e.g. 2e-4); also switches to "
+                      "the wide-excursion trajectory")
+  p.add_argument("--kidnap", type=float, default=0.0, metavar="METERS",
+                 help="inject a one-keyframe-interval odometry offset burst "
+                      "mid-excursion (e.g. 0.6, beyond the association "
+                      "band) so a loop closure must actually FIRE and "
+                      "repair it; also switches to the wide-excursion "
+                      "trajectory")
+  p.add_argument("--radius", type=float, default=None,
+                 help="orbit radius in meters (default 0.25; "
+                      "drift/kidnap modes 2.0)")
+  p.add_argument("--loops", type=float, default=None,
+                 help="number of orbits (default 2.0; drift/kidnap 1.15)")
   p.add_argument("--out", default=None)
   args = p.parse_args()
+  biased = args.drift > 0 or args.kidnap > 0
+  if args.radius is None:
+    args.radius = 2.0 if biased else 0.25
+  if args.loops is None:
+    args.loops = 1.15 if biased else 2.0
+  if biased and args.dataset == p.get_default("dataset"):
+    args.dataset += "_excursion"
 
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.eval import ate_rmse
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.slam.system import BadSlam
 
-  ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise)
+  ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
+                 radius=args.radius, loops=args.loops)
   video = dataset_io.load_tum_dataset(args.dataset, None)
   video.enable_native_prefetch()
   n = min(args.frames, video.frame_count())
@@ -74,9 +189,24 @@ def main():
       parallel_loop_detection=not args.sequential,
       enable_loop_detection=True,
   )
-  slam = BadSlam(cfg, video)
+  slam_cls = BadSlam
+  # Kidnap: one odometry edge at 45% of the run (deep in the excursion, no
+  # covisibility with the start) exceeds the association band.
+  kidnap_at = int(0.45 * n)
+  if args.kidnap > 0:
+    slam_cls = make_kidnapped_slam(BadSlam, args.kidnap, kidnap_at)
+  elif args.drift > 0:
+    slam_cls = make_biased_slam(BadSlam, lambda i: args.drift)
+  slam = slam_cls(cfg, video)
   report = {"frames": n, "parallel": not args.sequential,
             "noise": args.noise}
+  report["trajectory"] = {"radius_m": args.radius, "loops": args.loops}
+  if args.drift > 0:
+    report["drift_m_per_frame"] = args.drift
+    report["uncorrected_endpoint_drift_m"] = round(args.drift * n, 4)
+  if args.kidnap > 0:
+    report["kidnap_m"] = args.kidnap
+    report["kidnap_at_frame"] = kidnap_at
 
   t0 = time.perf_counter()
   for i in range(n):
@@ -105,10 +235,23 @@ def main():
   gt = np.stack([gt_raw[round(t, 4)] for t in ts])
   rmse, _ = ate_rmse(est, gt)
   report["ate_rmse_m"] = rmse
-  # Bound: interpolation-bias drift (~0.02 mm/frame at 640x480) is partially
-  # absorbed by BA + loop closure; 2 mm leaves ~4x margin over measured runs
-  # while still flagging any divergence-class regression instantly.
-  report["ate_pass"] = bool(rmse < 2e-3)
+  if args.kidnap > 0:
+    # Kidnap mode: the pose-graph closure distributes the correction over
+    # the whole odometry chain (identity information matrices, as the
+    # reference), so interior excursion keyframes keep part of the offset —
+    # the gate requires the repair to remove at least half of it overall.
+    report["ate_pass"] = bool(rmse < 0.5 * args.kidnap)
+  elif args.drift > 0:
+    # Drift mode: verifies ABSORPTION — per-keyframe frame-to-model BA
+    # re-snaps smooth drift against the covisible local map, so the final
+    # ATE must stay far below the uncorrected endpoint (measured: 0.13 mm
+    # vs 0.1 m uncorrected), with every loop candidate correctly ignored.
+    report["ate_pass"] = bool(rmse < 0.05 * args.drift * n)
+  else:
+    # Bound: interpolation-bias drift (~0.02 mm/frame at 640x480) is
+    # partially absorbed by BA + loop closure; 2 mm leaves ~4x margin over
+    # measured runs while still flagging any divergence-class regression.
+    report["ate_pass"] = bool(rmse < 2e-3)
 
   # --- loop-closure bookkeeping ---
   det = slam.loop_detector
@@ -139,9 +282,14 @@ def main():
   # zero events means the gate silently lost coverage).
   loop_exercised = det is None or len(det.events) > 0
   report["loop_path_exercised"] = bool(loop_exercised)
+  # Kidnap mode additionally requires that at least one closure was APPLIED
+  # (not just detected-and-ignored): the baked-in offset makes the
+  # is-BA-enough test fail, so a zero here means the repair path is broken.
+  closure_ok = (args.kidnap == 0 or det is None
+                or det.num_loops_closed > 0)
   report["pass"] = bool(report["ate_pass"] and all(invariants.values())
                         and report.get("counters_consistent", True)
-                        and loop_exercised)
+                        and loop_exercised and closure_ok)
   print(json.dumps(report, indent=2), flush=True)
   if args.out:
     with open(args.out, "w") as f:
