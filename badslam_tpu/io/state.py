@@ -157,6 +157,12 @@ def load_state(path: str, slam) -> None:
     ba.add_keyframe(processed.depth, processed.normals, processed.radius_sq,
                     processed.intensity, processed.rgb,
                     jnp.asarray(kf_poses[slot]), frame_index)
+    if slam.loop_detector is not None:
+      # Re-create the loop detector's database from the dataset images, as
+      # LoadState does for its gray-image stack (io.cc:521) — otherwise no
+      # closure against pre-snapshot keyframes could ever fire after resume.
+      slam.loop_detector.add_to_database(
+          slot, np.asarray(processed.intensity), np.asarray(processed.depth))
   # Overwrite covisibility/activation with the snapshot's.
   k = ba.kf.capacity
   covis = np.zeros((k, k), bool)

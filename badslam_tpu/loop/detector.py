@@ -336,6 +336,17 @@ class LoopDetector:
 
   # --- public API ---
 
+  def add_to_database(self, kf_slot: int, intensity: np.ndarray,
+                      depth: np.ndarray) -> None:
+    """Insert a keyframe into the retrieval database WITHOUT querying it —
+    the state-load path (LoadState re-creates the loop detector's gray
+    images from the dataset, io.cc:521, with parallel detection disabled
+    for the duration, io.cc:392-395). Re-feeding the loaded keyframes here
+    restores closure capability against pre-snapshot map regions."""
+    entry = self._extract(kf_slot, intensity, depth)
+    with self._detector_lock:
+      self.entries.append(entry)
+
   def remove_keyframe(self, kf_slot: int):
     """LoopDetector::RemoveImage — keyframe deleted by keyframe merging.
     Takes the keyframe-store slot (stable under the masked store design).

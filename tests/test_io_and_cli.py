@@ -213,6 +213,39 @@ def test_state_snapshot_roundtrip(tmp_path):
   assert len(rendered) == (slam.direct_ba.keyframe_count + 1) // 2
 
 
+def test_state_load_rebuilds_loop_database(tmp_path):
+  """LoadState re-creates the loop detector's image database from the
+  dataset (io.cc:521) — after resume, closures against pre-snapshot
+  keyframes must remain possible."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0, 0, 0, 0, 0], jnp.float32))) for i in range(5)]
+  video = synthetic.make_synthetic_video(cam, traj, normals)
+  cfg = BadSlamConfig(
+      keyframe_interval=2, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1, enable_loop_detection=True,
+      parallel_loop_detection=False,
+      initial_keyframe_capacity=4, initial_surfel_capacity=1 << 13)
+  slam = BadSlam(cfg, video)
+  for i in range(5):
+    slam.process_frame(i)
+  path = str(tmp_path / "state.npz")
+  state_io.save_state(path, slam)
+
+  slam2 = BadSlam(cfg, synthetic.make_synthetic_video(cam, traj, normals))
+  state_io.load_state(path, slam2)
+  entries = [e for e in slam2.loop_detector.entries if e is not None]
+  assert len(entries) == slam2.direct_ba.keyframe_count
+  assert sorted(e.kf_slot for e in entries) == list(
+      range(slam2.direct_ba.keyframe_count))
+  # The rebuilt database participates in retrieval on the resumed run.
+  slam2.process_frame(4, force_keyframe=True)
+
+
 def test_calibration_roundtrip(tmp_path):
   cam = synthetic.default_test_camera(W, H)
   normals = _make_world()
