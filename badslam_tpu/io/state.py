@@ -116,6 +116,12 @@ def load_state(path: str, slam) -> None:
     raise ValueError(f"Unsupported state version {int(data['version'])}")
 
   ba = slam.direct_ba
+  if ba.keyframe_count != 0 or ba.surfel_count != 0:
+    raise ValueError(
+        "load_state requires a freshly-constructed system: the receiving "
+        f"map already holds {ba.keyframe_count} keyframes / "
+        f"{ba.surfel_count} surfels (keyframe slots and loop-detector "
+        "entries are assigned densely from 0 on load)")
 
   # Validate geometry-critical settings against the receiving system —
   # silently installing e.g. a wrong-resolution cfactor grid would corrupt
@@ -154,15 +160,20 @@ def load_state(path: str, slam) -> None:
   for slot in range(n_kf):
     frame_index = int(data["kf_frame_index"][slot])
     processed = slam.preprocess_frame(frame_index)
-    ba.add_keyframe(processed.depth, processed.normals, processed.radius_sq,
-                    processed.intensity, processed.rgb,
-                    jnp.asarray(kf_poses[slot]), frame_index)
+    idx = ba.add_keyframe(
+        processed.depth, processed.normals, processed.radius_sq,
+        processed.intensity, processed.rgb,
+        jnp.asarray(kf_poses[slot]), frame_index)
+    # The receiving system must be freshly constructed (enforced above), so
+    # slots are assigned densely in snapshot order — but always hand the
+    # detector the index the store actually assigned.
+    assert idx == slot, f"keyframe slot mismatch on load: {idx} != {slot}"
     if slam.loop_detector is not None:
       # Re-create the loop detector's database from the dataset images, as
       # LoadState does for its gray-image stack (io.cc:521) — otherwise no
       # closure against pre-snapshot keyframes could ever fire after resume.
       slam.loop_detector.add_to_database(
-          slot, np.asarray(processed.intensity), np.asarray(processed.depth))
+          idx, np.asarray(processed.intensity), np.asarray(processed.depth))
   # Overwrite covisibility/activation with the snapshot's.
   k = ba.kf.capacity
   covis = np.zeros((k, k), bool)

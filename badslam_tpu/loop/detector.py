@@ -338,11 +338,19 @@ class LoopDetector:
 
   def add_to_database(self, kf_slot: int, intensity: np.ndarray,
                       depth: np.ndarray) -> None:
-    """Insert a keyframe into the retrieval database WITHOUT querying it —
-    the state-load path (LoadState re-creates the loop detector's gray
-    images from the dataset, io.cc:521, with parallel detection disabled
-    for the duration, io.cc:392-395). Re-feeding the loaded keyframes here
-    restores closure capability against pre-snapshot map regions."""
+    """Insert a keyframe WITHOUT querying — used only by the state-load
+    path, which re-creates the database from the dataset images as the
+    reference LoadState does (io.cc:521, parallel detection disabled for
+    the duration, io.cc:392-395). Restores closure capability against
+    pre-snapshot map regions for keyframes created AFTER the resume.
+
+    Deliberate divergence from the reference: LoadState queues the loaded
+    keyframes and runs the full AddImage detect+close on each of them
+    afterwards (bad_slam.cc:1140, io.cc:527), so loop candidates *among*
+    the snapshot's own keyframes can still fire at resume time; here they
+    cannot — a converged snapshot has already absorbed or closed them, and
+    re-closing against a map we just restored verbatim would only perturb
+    it. Only post-resume keyframes query the rebuilt database."""
     entry = self._extract(kf_slot, intensity, depth)
     with self._detector_lock:
       self.entries.append(entry)

@@ -220,7 +220,7 @@ def test_state_load_rebuilds_loop_database(tmp_path):
   cam = synthetic.default_test_camera(W, H)
   normals = _make_world()
   traj = [np.asarray(se3.exp(jnp.asarray(
-      [0.003 * i, 0, 0, 0, 0, 0], jnp.float32))) for i in range(5)]
+      [0.003 * i, 0, 0, 0, 0, 0], jnp.float32))) for i in range(6)]
   video = synthetic.make_synthetic_video(cam, traj, normals)
   cfg = BadSlamConfig(
       keyframe_interval=2, num_scales=3, max_depth=5.0,
@@ -239,11 +239,17 @@ def test_state_load_rebuilds_loop_database(tmp_path):
   slam2 = BadSlam(cfg, synthetic.make_synthetic_video(cam, traj, normals))
   state_io.load_state(path, slam2)
   entries = [e for e in slam2.loop_detector.entries if e is not None]
-  assert len(entries) == slam2.direct_ba.keyframe_count
-  assert sorted(e.kf_slot for e in entries) == list(
-      range(slam2.direct_ba.keyframe_count))
-  # The rebuilt database participates in retrieval on the resumed run.
-  slam2.process_frame(4, force_keyframe=True)
+  n_loaded = slam2.direct_ba.keyframe_count
+  assert len(entries) == n_loaded
+  assert sorted(e.kf_slot for e in entries) == list(range(n_loaded))
+  # A NEW post-resume keyframe queries the rebuilt database: the detector
+  # gains exactly one entry, registered under the newly assigned slot.
+  slam2.process_frame(5, force_keyframe=True)
+  slam2.quiesce()  # parallel BA drains the queued keyframe registration
+  entries = [e for e in slam2.loop_detector.entries if e is not None]
+  assert len(entries) == n_loaded + 1
+  assert slam2.direct_ba.keyframe_count == n_loaded + 1
+  assert entries[-1].kf_slot == n_loaded
 
 
 def test_calibration_roundtrip(tmp_path):
