@@ -19,12 +19,41 @@ detection thread, off the TPU hot path, mirroring the reference's layering.
 
 from __future__ import annotations
 
+import ctypes
 from typing import List, Optional
 
 import numpy as np
 
 _POPCOUNT_LUT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+_native_checked = False
+_native_lib = None
+
+
+def native_vocab_lib() -> Optional[ctypes.CDLL]:
+  """The native BoW backend (native/bow.cc), or None when not built.
+  Construction semantics match the numpy path (leaf/empty-cluster/tie
+  rules); trees differ bit-wise because the RNG streams differ."""
+  global _native_checked, _native_lib
+  if _native_checked:
+    return _native_lib
+  _native_checked = True
+  from badslam_tpu.io import native_loader
+  lib = native_loader.get_library()
+  if lib is None or not hasattr(lib, "bow_fit"):
+    return None
+  lib.bow_fit.restype = ctypes.c_void_p
+  lib.bow_fit.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                          ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+  lib.bow_num_words.restype = ctypes.c_int
+  lib.bow_num_words.argtypes = [ctypes.c_void_p]
+  lib.bow_transform.restype = ctypes.c_int
+  lib.bow_transform.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+  lib.bow_free.argtypes = [ctypes.c_void_p]
+  _native_lib = lib
+  return _native_lib
 
 
 def hamming_to_centers(bits: np.ndarray, centers: np.ndarray) -> np.ndarray:
@@ -70,7 +99,10 @@ class BinaryVocabulary:
   negative numbers -(word+1)).
   """
 
-  def __init__(self, branching: int = 10, depth: int = 3, seed: int = 0):
+  def __init__(self, branching: int = 10, depth: int = 3, seed: int = 0,
+               backend: str = "auto"):
+    """backend: 'auto' (native/bow.cc when built, else numpy), 'native',
+    or 'numpy'."""
     self.branching = branching
     self.depth = depth
     self.seed = seed
@@ -78,9 +110,41 @@ class BinaryVocabulary:
     self.children: List[List[int]] = []
     self.num_words = 0
     self.idf: Optional[np.ndarray] = None
+    if backend not in ("auto", "native", "numpy"):
+      raise ValueError(f"unknown BoW backend {backend!r}")
+    self.backend = backend
+    self._handle = None
+    self._desc_bytes = 0
+
+  def __del__(self):
+    try:
+      self._free_native()
+    except Exception:
+      pass
+
+  def _free_native(self):
+    if self._handle is not None:
+      native_vocab_lib().bow_free(self._handle)
+      self._handle = None
 
   def fit(self, descriptors: np.ndarray) -> "BinaryVocabulary":
     """descriptors: (N, 32) uint8 packed."""
+    lib = native_vocab_lib() if self.backend in ("auto", "native") else None
+    if self.backend == "native" and lib is None:
+      raise RuntimeError("native BoW backend not built (make -C native)")
+    self._free_native()
+    if lib is not None:
+      desc = np.ascontiguousarray(descriptors, np.uint8)
+      if desc.ndim != 2:
+        desc = desc.reshape(len(desc), -1)
+      self._desc_bytes = desc.shape[1] if desc.size else 32
+      self._handle = lib.bow_fit(
+          desc.ctypes.data_as(ctypes.c_void_p), len(desc), self._desc_bytes,
+          self.branching, self.depth, self.seed)
+      if self._handle is None:
+        raise RuntimeError("bow_fit failed")
+      self.num_words = lib.bow_num_words(self._handle)
+      return self
     rng = np.random.default_rng(self.seed)
     bits = np.unpackbits(descriptors, axis=1)
     self.centers, self.children = [], []
@@ -116,6 +180,20 @@ class BinaryVocabulary:
     """(N, 32) packed -> (N,) word ids."""
     if len(descriptors) == 0:
       return np.zeros((0,), np.int32)
+    if self._handle is not None:
+      lib = native_vocab_lib()
+      desc = np.ascontiguousarray(descriptors, np.uint8)
+      if desc.ndim != 2:
+        desc = desc.reshape(len(desc), -1)
+      out = np.empty((len(desc),), np.int32)
+      rc = lib.bow_transform(
+          self._handle, desc.ctypes.data_as(ctypes.c_void_p), len(desc),
+          desc.shape[1], out.ctypes.data_as(ctypes.c_void_p))
+      if rc != 0:
+        raise ValueError(
+            f"descriptor length {desc.shape[1]} != vocabulary's "
+            f"{self._desc_bytes}")
+      return out
     bits = np.unpackbits(descriptors, axis=1)
     out = np.zeros(len(bits), np.int32)
     # Iterative descent, processed in groups per node (vectorized within).
