@@ -71,6 +71,12 @@ class BadSlamConfig:
   do_surfel_updates: bool = True
   parallel_ba: bool = True
   use_pcg: bool = False
+  # Transfer-free front-end: the per-frame state machine (motion model,
+  # failure gates, trajectory) stays on device and BA never reads its
+  # convergence scalar, so the whole run performs zero device->host
+  # transfers until finalize_pipelined(). Implies sequential BA and skips
+  # the memory watchdog (slam/pipelined.py).
+  pipelined_frontend: bool = False
   estimate_poses: bool = True
   min_free_gpu_memory_mb: int = 250
 

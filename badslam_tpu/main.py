@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--no_surfel_updates", action="store_true")
   p.add_argument("--sequential_ba", action="store_true")
   p.add_argument("--use_pcg", action="store_true")
+  p.add_argument("--pipelined_frontend", action="store_true",
+                 help="transfer-free front-end: zero device->host transfers"
+                      " during the run (keeps the TPU tunnel in pipelined"
+                      " dispatch; implies --sequential_ba)")
 
   # Memory (main.cc:247-257).
   p.add_argument("--max_surfel_count", type=int, default=25_000_000)
@@ -175,6 +179,7 @@ def config_from_args(args) -> BadSlamConfig:
       do_surfel_updates=not args.no_surfel_updates,
       parallel_ba=not args.sequential_ba,
       use_pcg=args.use_pcg,
+      pipelined_frontend=args.pipelined_frontend,
       enable_loop_detection=not args.no_loop_detection,
       parallel_loop_detection=not args.sequential_loop_detection,
       loop_detection_image_frequency=args.loop_detection_image_frequency,
@@ -228,9 +233,12 @@ def run(args) -> int:
     frames_done += 1
     if not args.quiet and frames_done % 50 == 0:
       elapsed = time.perf_counter() - t_start
+      # surfel_count is a device read — keep the pipelined loop transfer-free.
+      surfels = ("n/a" if config.pipelined_frontend
+                 else slam.direct_ba.surfel_count)
       print(f"frame {frame_index}: {frames_done / elapsed:.1f} FPS, "
             f"{slam.direct_ba.keyframe_count} keyframes, "
-            f"{slam.direct_ba.surfel_count} surfels")
+            f"{surfels} surfels")
 
   # Stop the parallel BA thread before final BA (main.cc:723 implicit).
   slam.stop_ba_thread_and_wait()
@@ -256,6 +264,10 @@ def run(args) -> int:
           active_keyframe_window_start=0,
           active_keyframe_window_end=k - 1)
     slam.update_keyframe_poses_in_video()
+
+  # Pipelined runs: materialize global poses AFTER final BA so every frame
+  # anchors to its base keyframe's final pose.
+  slam.finalize_pipelined()
 
   if not args.quiet:
     elapsed = time.perf_counter() - t_start

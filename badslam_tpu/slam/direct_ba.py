@@ -375,6 +375,10 @@ class DirectBA:
     self.cell_size = cell
 
     self._kf_count_host = 0
+    # Host mirror of kf.valid: every mutation (add/delete/grow) is
+    # host-initiated, so the mirror is exact. Lets the transfer-free BA mode
+    # build its activation masks without a device read.
+    self._kf_valid_host = np.zeros(kcap, bool)
     self._surfel_count_cache = (None, 0)
     self._surfel_watermark_cache = (None, 0)
     # Host-side upper bound on the surfel watermark (see
@@ -468,6 +472,9 @@ class DirectBA:
       grown = np.full(new_cap, -1, np.int64)
       grown[: len(self.last_active_in_ba_iteration)] = self.last_active_in_ba_iteration
       self.last_active_in_ba_iteration = grown
+      valid_grown = np.zeros(new_cap, bool)
+      valid_grown[: len(self._kf_valid_host)] = self._kf_valid_host
+      self._kf_valid_host = valid_grown
       self._mesh_place()
 
   def _ensure_surfel_capacity(self):
@@ -517,6 +524,7 @@ class DirectBA:
         jnp.asarray(rgb, jnp.uint8), global_T_frame,
         jnp.asarray(frame_index, jnp.int32), self.depth_intr, w, h)
     self._kf_count_host += 1
+    self._kf_valid_host[idx] = True
     return idx
 
   def create_surfels_for_keyframe(self, kf_index: int,
@@ -551,8 +559,17 @@ class DirectBA:
       active_keyframe_window_end: int = -1,
       increase_ba_iteration_count: bool = True,
       max_inner_pose_iterations: int = 30,
+      transfer_free: bool = False,
   ) -> Tuple[int, bool]:
     """BundleAdjustmentAlternating (direct_ba_alternating.cc:285-740).
+
+    transfer_free: run with ZERO device->host transfers — activation masks
+    come from the host valid mirror and the convergence scalar is never
+    read, so exactly max_iterations run and `converged` returns False.
+    Requires a fixed active window (the parallel-BA thread's semantics,
+    bad_slam.cc:1268-1289); used by the pipelined front-end to keep the
+    whole live loop in the tunnel's speculative dispatch mode (PERF.md
+    "tunnel dispatch modes").
 
     Returns (num_iterations_done, converged).
     """
@@ -564,10 +581,14 @@ class DirectBA:
     if (not increase_ba_iteration_count and
         fixed_ba_iteration_count != self.last_ba_iteration_count):
       self.last_ba_iteration_count = fixed_ba_iteration_count
-      self.perform_ba_scheme_end_tasks(do_surfel_updates)
+      self.perform_ba_scheme_end_tasks(do_surfel_updates,
+                                       transfer_free=transfer_free)
 
     fixed_active_set = (active_keyframe_window_start >= 0 or
                         active_keyframe_window_end >= 0)
+    if transfer_free and not fixed_active_set:
+      raise ValueError("transfer_free BA requires a fixed active window "
+                       "(activation evolution needs per-iteration reads)")
     self._mesh_place()
 
     # Initialize surfel active states to inactive.
@@ -587,17 +608,25 @@ class DirectBA:
         e = (active_keyframe_window_end if active_keyframe_window_end >= 0
              else kcount - 1)
         act[s:e + 1] = ACTIVE
-        valid_np = np.asarray(self.kf.valid)
-        act = np.where(valid_np, act, INACTIVE)
+        valid_np = (self._kf_valid_host if transfer_free
+                    else np.asarray(self.kf.valid))
+        act = np.where(valid_np[: self.kf.capacity], act, INACTIVE)
         self.set_activation(act)
         self._mesh_place()
         self.kf = _determine_covisible_active_jit(self.kf)
 
-      # One fused device->host read per iteration: activation with -1 for
-      # invalid slots. Drives both newly-active surfel creation and the
-      # active-window gather below.
-      act_valid = np.asarray(
-          jnp.where(self.kf.valid, self.kf.activation, -1))
+      if transfer_free:
+        # The fixed-window activation is fully host-determined: ACTIVE for
+        # valid window slots, -1 elsewhere (covisible-active only matters
+        # outside the window, which a fixed full window has none of).
+        act_valid = np.where(self._kf_valid_host[: self.kf.capacity],
+                             act, -1)
+      else:
+        # One fused device->host read per iteration: activation with -1 for
+        # invalid slots. Drives both newly-active surfel creation and the
+        # active-window gather below.
+        act_valid = np.asarray(
+            jnp.where(self.kf.valid, self.kf.activation, -1))
 
       # --- ACTIVE-KEYFRAME WINDOW ---
       # The dense BA phases cost O(store_capacity x surfels) regardless of
@@ -667,7 +696,8 @@ class DirectBA:
           # slots (the reference randomizes over live keyframes,
           # direct_ba_pcg.cc:318-337); a deleted slot would leave the system
           # gauge-free.
-          valid_np = np.asarray(self.kf.valid)  # one transfer
+          valid_np = (self._kf_valid_host if transfer_free
+                      else np.asarray(self.kf.valid))  # one transfer
           valid_slots = [i for i in range(kcount) if valid_np[i]] or [0]
           gauge = valid_slots[iteration % len(valid_slots)]
           (self.surfels, self.kf, self.depth_intr, self.color_intr,
@@ -702,7 +732,9 @@ class DirectBA:
       if use_pcg:
         # The PCG step already updated poses; convergence from the update norm
         # (IsScale1PoseEstimationConverged analog on the joint step).
-        if float(pose_update) ** 2 * 100.0 < 1e-6:
+        if transfer_free:
+          num_converged = 0  # never read the scalar; run all iterations
+        elif float(pose_update) ** 2 * 100.0 < 1e-6:
           num_converged = kcount
         else:
           num_converged = 0
@@ -716,7 +748,7 @@ class DirectBA:
                 self.use_depth_residuals, self.use_descriptor_residuals,
                 max_inner_pose_iterations)
             # One scalar read (the jitted phase already computed the count).
-            num_converged = int(num_converged_dev)
+            num_converged = 0 if transfer_free else int(num_converged_dev)
           else:
             kf_win, num_conv_win = _pose_optimization_jit(
                 self.surfels, kf_phase, self.depth_intr, self.color_intr,
@@ -730,8 +762,9 @@ class DirectBA:
             # (or deleted) and therefore converged, so
             #   still_active = wsize - num_conv_win
             #   num_converged = kcount - still_active.
-            num_converged = kcount - (window_idx.shape[0]
-                                      - int(num_conv_win))
+            num_converged = (0 if transfer_free else
+                             kcount - (window_idx.shape[0]
+                                       - int(num_conv_win)))
 
       # --- INTRINSICS OPTIMIZATION (alternated; skipped for the unknowns
       # the joint PCG step above already solved) ---
@@ -759,7 +792,8 @@ class DirectBA:
       self.kf = _determine_covisible_active_jit(self.kf)
 
     if increase_ba_iteration_count:
-      self.perform_ba_scheme_end_tasks(do_surfel_updates)
+      self.perform_ba_scheme_end_tasks(do_surfel_updates,
+                                       transfer_free=transfer_free)
       self.ba_iteration_count += 1
 
     if DEBUG_VERIFY_COUNT:
@@ -781,9 +815,13 @@ class DirectBA:
                  "host watermark bound is an upper bound")
     log.check_eq(int(self.kf.count), self._kf_count_host,
                  "keyframe count mirror")
+    log.check(bool(np.array_equal(np.asarray(self.kf.valid),
+                                  self._kf_valid_host)),
+              "keyframe valid mirror matches device mask")
     log.debug("DebugVerifySurfelCount: ok")
 
-  def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True):
+  def perform_ba_scheme_end_tasks(self, do_surfel_updates: bool = True,
+                                  transfer_free: bool = False):
     """Merge (keyframes active this block) + delete + radius update
     (direct_ba.cc:566-653). Compaction is unnecessary under the mask design.
     """
@@ -806,7 +844,12 @@ class DirectBA:
           w, h, self.cell_size, True)
     # Compaction (CompactSurfelsCUDA in the reference's end tasks,
     # direct_ba.cc:645): reclaim dead slots when fragmentation is high so
-    # the watermark does not creep toward capacity.
+    # the watermark does not creep toward capacity. The fragmentation check
+    # reads two device scalars, so the transfer-free mode skips it — under
+    # the masked-store design compaction is purely an optimization, and
+    # watermark creep is still bounded by _ensure_surfel_capacity growth.
+    if transfer_free:
+      return
     if (self.surfel_watermark - self.surfel_count
         > max(1024, self.surfels.capacity // 4)):
       with Timing.time("BA surfel compaction"):
@@ -842,6 +885,7 @@ class DirectBA:
         valid=kf.valid.at[keyframe_index].set(False),
         activation=kf.activation.at[keyframe_index].set(INACTIVE),
         covis=covis)
+    self._kf_valid_host[keyframe_index] = False
     if loop_detector is not None:
       loop_detector.remove_keyframe(keyframe_index)
 

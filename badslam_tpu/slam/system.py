@@ -181,7 +181,17 @@ class BadSlam:
     self._quit_requested = False
     self._ba_busy = False  # True while the BA thread runs a popped iteration
     self._ba_thread = None
-    self._parallel = bool(config.parallel_ba and config.estimate_poses)
+    # Pipelined (transfer-free) front-end: the per-frame state machine stays
+    # on device (slam/pipelined.py). Implies sequential BA — the BA thread's
+    # keyframe-queue fixup reads poses back per keyframe.
+    self._pipelined = bool(config.pipelined_frontend)
+    if self._pipelined:
+      from badslam_tpu.slam import pipelined
+      self._pl = pipelined.PipelinedState(len(rgbd_video.frames))
+      if config.parallel_ba:
+        log.info("pipelined_frontend: forcing sequential BA")
+    self._parallel = bool(config.parallel_ba and config.estimate_poses
+                          and not self._pipelined)
     if self._parallel:
       self._ba_thread = threading.Thread(
           target=self._ba_thread_main, name="ba_thread", daemon=True)
@@ -195,6 +205,8 @@ class BadSlam:
 
   def process_frame(self, frame_index: int, force_keyframe: bool = False):
     """ProcessFrame (bad_slam.cc:170-279), sequential-BA path."""
+    if self._pipelined:
+      return self._process_frame_pipelined(frame_index, force_keyframe)
     cfg = self.config
     video = self.rgbd_video
 
@@ -244,6 +256,160 @@ class BadSlam:
         else:
           self.num_planned_ba_iterations = max(
               0, self.num_planned_ba_iterations - iterations_done)
+
+  # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
+
+  def _process_frame_pipelined(self, frame_index: int,
+                               force_keyframe: bool = False):
+    """ProcessFrame with ZERO device->host transfers: tracking state,
+    motion model, failure gates, and trajectory recording run on device;
+    BA uses DirectBA's transfer_free mode. Call finalize_pipelined() after
+    the run to materialize global poses."""
+    from badslam_tpu.slam import pipelined
+    cfg = self.config
+    ba = self.direct_ba
+
+    with Timing.time("Preprocessing"):
+      processed = self.preprocess_frame(frame_index)
+
+    self.pose_estimated = False
+    if cfg.estimate_poses and self.base_kf_images is not None:
+      with Timing.time("Odometry"):
+        base = self.base_kf_images
+        w, h = ba.depth_size
+        self._pl.hist, self._pl.traj_rel = pipelined.track_frame(
+            base.depth, base.normals, base.intensity,
+            processed.raw_depth, processed.normals, processed.intensity,
+            ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
+            self._pl.hist, self._pl.traj_rel,
+            jnp.asarray(frame_index, jnp.int32),
+            hist_n=min(3, self._pl.hist_n),
+            width=w, height=h, cell_size=ba.cell_size,
+            num_scales=cfg.num_scales,
+            use_depth_residuals=cfg.use_geometric_residuals,
+            use_descriptor_residuals=cfg.use_photometric_residuals,
+            use_motion_model=cfg.use_motion_model,
+            convergence_threshold=cfg.odometry_convergence_threshold,
+            residual_type=("gradmag" if cfg.use_gradmag_for_tracking
+                           else "gradient_xy"),
+            min_resid=max(50, (w * h) // 100),
+            max_speed=float(cfg.max_translation_per_frame))
+        self._pl.hist_n = min(3, self._pl.hist_n + 1)
+        self._pl.traj_slot[frame_index] = self._pl.base_slot
+      self.pose_estimated = True
+    self.last_frame_index = max(self.last_frame_index, frame_index)
+
+    create_keyframe = (
+        force_keyframe or
+        ((frame_index - cfg.start_frame) % cfg.keyframe_interval == 0))
+    if create_keyframe:
+      with Timing.time("Keyframe creation"):
+        self._create_keyframe_pipelined(frame_index, processed)
+    self.keyframe_created = create_keyframe
+
+    # One transfer-free BA iteration per frame while budget remains — the
+    # parallel-BA thread's schedule (bad_slam.cc:1268-1289) on the main
+    # thread, with the whole store active.
+    if self.num_planned_ba_iterations > 0 and ba.keyframe_count >= 2:
+      self.ba_counter += 1
+      k = ba.keyframe_count
+      optimize_depth_intrinsics = (
+          cfg.optimize_intrinsics and k >= 10 and
+          (k <= 20 or
+           self.ba_counter % cfg.intrinsics_optimization_interval == 0))
+      with Timing.time("Bundle adjustment"):
+        ba.bundle_adjustment(
+            optimize_depth_intrinsics=(optimize_depth_intrinsics
+                                       and cfg.use_geometric_residuals),
+            optimize_color_intrinsics=(optimize_depth_intrinsics
+                                       and cfg.use_photometric_residuals),
+            do_surfel_updates=cfg.do_surfel_updates,
+            optimize_poses=True, optimize_geometry=True,
+            min_iterations=0, max_iterations=1,
+            active_keyframe_window_start=0,
+            active_keyframe_window_end=k - 1,
+            increase_ba_iteration_count=False,
+            transfer_free=True)
+      self.num_planned_ba_iterations -= 1
+
+  def _create_keyframe_pipelined(self, frame_index: int,
+                                 processed: ProcessedFrame):
+    """CreateKeyframe without readbacks: the keyframe pose is composed on
+    device from the base keyframe's CURRENT store pose; loop-detection
+    features come from the host image copies (the reference extracts them
+    on the CPU too, bad_slam.cc:1014-1024). The memory-pressure watchdog is
+    skipped — its merge ranking reads poses back; size the surfel store via
+    config in pipelined runs."""
+    from badslam_tpu.slam import pipelined
+    ba = self.direct_ba
+    cfg = self.config
+
+    if ba.keyframe_count == 0:
+      pose_dev = jnp.asarray(
+          self.rgbd_video.frames[frame_index].global_T_frame, jnp.float32)
+    else:
+      pose_dev = pipelined.keyframe_pose(
+          ba.kf.global_T_frame, jnp.asarray(self._pl.base_slot, jnp.int32),
+          self._pl.hist)
+
+    idx = ba.add_keyframe(
+        processed.depth, processed.normals, processed.radius_sq,
+        processed.intensity, processed.rgb, pose_dev, frame_index)
+    self.keyframe_frame_indices.append(frame_index)
+    if ba.keyframe_count == 1:
+      ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
+    elif not cfg.do_surfel_updates:
+      ba.create_surfels_for_keyframe(idx, filter_new_surfels=True)
+
+    if (self.loop_detector is not None
+        and self._loop_detection_due(frame_index)):
+      intensity, depth = self._host_detection_images(frame_index, processed)
+      self.loop_detector.add_keyframe(idx, intensity, depth, self)
+
+    # Device history rebase + host bookkeeping.
+    self._pl.base_slot = idx
+    self._pl.traj_slot[frame_index] = idx
+    if self._pl.hist_n == 0:
+      self._pl.hist_n = 1  # identity entry for the first keyframe
+    else:
+      self._pl.hist = pipelined.rebase_history(self._pl.hist)
+    self.base_kf_index = idx
+    self.base_kf_images = processed
+
+    if cfg.estimate_poses and ba.keyframe_count >= 2:
+      self.num_planned_ba_iterations += cfg.max_num_ba_iterations_per_keyframe
+
+  def _host_detection_images(self, frame_index: int,
+                             processed: ProcessedFrame):
+    """Loop-detection inputs without touching device arrays: intensity and
+    metric depth from the dataset's host copies (matches
+    ops/image_proc.rgb_to_intensity's u8-luma quantization). Falls back to
+    a device readback when input pyramid scaling is active (host images
+    would no longer match the detector's camera)."""
+    cfg = self.config
+    if cfg.pyramid_level_for_depth == 0 and cfg.pyramid_level_for_color == 0:
+      rgb = np.asarray(
+          self.rgbd_video.frames[frame_index].rgb(), np.float32)
+      luma = np.floor(
+          0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+          + 0.5)
+      intensity = np.clip(luma, 0.0, 255.0) * (1.0 / 255.0)
+      depth = np.asarray(self.rgbd_video.depth_metric(frame_index),
+                         np.float32)
+      return intensity.astype(np.float32), depth
+    return (np.asarray(processed.intensity), np.asarray(processed.depth))
+
+  def finalize_pipelined(self):
+    """Materialize global per-frame poses from the device trajectory (the
+    run's only mandatory device->host transfers) into rgbd_video."""
+    if not self._pipelined:
+      return
+    from badslam_tpu.slam import pipelined
+    poses = pipelined.finalize(
+        self._pl, self.direct_ba.kf.global_T_frame,
+        self.keyframe_frame_indices, self.last_frame_index)
+    for i, p in poses.items():
+      self.rgbd_video.frames[i].global_T_frame = p
 
   def preprocess_frame(self, frame_index: int) -> ProcessedFrame:
     cfg = self.config

@@ -144,6 +144,10 @@ def main():
   p.add_argument("--keyframe_interval", type=int, default=10)
   p.add_argument("--sequential", action="store_true",
                  help="sequential BA + detection (deterministic baseline)")
+  p.add_argument("--pipelined", action="store_true",
+                 help="transfer-free pipelined front-end (zero device->host "
+                      "transfers inside the frame loop; implies sequential "
+                      "BA; see slam/pipelined.py)")
   p.add_argument("--noise", action="store_true",
                  help="apply the Kinect-class sensor-noise model")
   p.add_argument("--drift", type=float, default=0.0, metavar="M_PER_FRAME",
@@ -185,9 +189,10 @@ def main():
   cfg = BadSlamConfig(
       keyframe_interval=args.keyframe_interval,
       max_depth=5.0,
-      parallel_ba=not args.sequential,
-      parallel_loop_detection=not args.sequential,
+      parallel_ba=not args.sequential and not args.pipelined,
+      parallel_loop_detection=not args.sequential and not args.pipelined,
       enable_loop_detection=True,
+      pipelined_frontend=args.pipelined,
   )
   slam_cls = BadSlam
   # Kidnap: one odometry edge at 45% of the run (deep in the excursion, no
@@ -213,9 +218,14 @@ def main():
     slam.process_frame(i)
     video.frames[i].clear_cache()
     if (i + 1) % 100 == 0:
+      # surfel_count is a device read — keep the pipelined loop transfer-free.
+      surfels = "n/a" if args.pipelined else slam.direct_ba.surfel_count
       print(f"frame {i + 1}/{n}: {(i + 1) / (time.perf_counter() - t0):.2f} "
             f"FPS, {slam.direct_ba.keyframe_count} keyframes, "
-            f"{slam.direct_ba.surfel_count} surfels", flush=True)
+            f"{surfels} surfels", flush=True)
+  if args.pipelined:
+    # The run's first device->host transfers happen here, after timing.
+    slam.finalize_pipelined()
   slam.stop_ba_thread_and_wait()
   if slam.loop_detector is not None:
     slam.loop_detector.request_exit_and_wait()

@@ -1,0 +1,181 @@
+"""Pipelined (transfer-free) front-end: slam/pipelined.py.
+
+Two claims are tested:
+  1. ACCURACY — the device-resident state machine (motion model, failure
+     gates, trajectory recording, transfer-free BA) tracks the synthetic
+     trajectory to the same mm-level bound as the host front-end.
+  2. TRANSFER-FREEDOM — the per-frame loop performs no device->host
+     readback. jax.transfer_guard can't see zero-copy CPU-backend reads, so
+     the guard here patches the two funnels every materialization in this
+     codebase goes through: ArrayImpl._value (int()/float()/device_get) and
+     np.asarray of a jax.Array.
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.geometry import se3
+from badslam_tpu.slam.system import BadSlam
+from badslam_tpu.utils import synthetic
+
+W, H = 160, 120
+N_FRAMES = 12
+
+
+@contextlib.contextmanager
+def forbid_device_to_host():
+  """Raises on any device->host materialization of a jax array."""
+  from jax._src import array as jarray
+  cls = jarray.ArrayImpl
+  orig_value = cls._value
+  orig_asarray = np.asarray
+
+  def guard_value(self):
+    raise AssertionError(
+        "device->host readback (ArrayImpl._value) inside the pipelined loop")
+
+  def guard_asarray(a, *args, **kwargs):
+    if isinstance(a, jax.Array):
+      raise AssertionError(
+          "np.asarray(device array) inside the pipelined loop")
+    return orig_asarray(a, *args, **kwargs)
+
+  cls._value = property(guard_value)
+  np.asarray = guard_asarray
+  try:
+    yield
+  finally:
+    cls._value = orig_value
+    np.asarray = orig_asarray
+
+
+def _world():
+  rng = np.random.default_rng(7)
+  normals = []
+  for _ in range(3):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  return np.asarray(normals)
+
+
+def _trajectory(n, step=0.004, rot_step=0.0012):
+  traj = []
+  for i in range(n):
+    tangent = jnp.asarray(
+        [step * i, 0.4 * step * i, -0.2 * step * i,
+         rot_step * i, -0.5 * rot_step * i, 0.3 * rot_step * i], jnp.float32)
+    traj.append(np.asarray(se3.exp(tangent)))
+  return traj
+
+
+def _config(**kw):
+  base = dict(
+      keyframe_interval=4, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 15,
+      enable_loop_detection=False, parallel_ba=False)
+  base.update(kw)
+  return BadSlamConfig(**base)
+
+
+def _translation_errors(video, traj_gt):
+  errs = []
+  for i in range(len(traj_gt)):
+    T_est = video.frames[i].global_T_frame
+    d = np.asarray(se3.log(
+        se3.inverse(jnp.asarray(T_est)) @ jnp.asarray(traj_gt[i])))
+    errs.append(np.linalg.norm(d[:3]))
+  return np.asarray(errs)
+
+
+def test_pipelined_is_transfer_free_and_accurate():
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam = BadSlam(_config(pipelined_frontend=True), video)
+
+  # Warm the jit caches OUTSIDE the guard (compilation may legitimately
+  # inspect host values), on a throwaway system over the same shapes.
+  warm_video = synthetic.make_synthetic_video(cam, traj_gt[:6], normals)
+  warm = BadSlam(_config(pipelined_frontend=True), warm_video)
+  for i in range(6):
+    warm.process_frame(i)
+
+  with forbid_device_to_host():
+    for i in range(N_FRAMES):
+      slam.process_frame(i)
+
+  # Finalization performs the run's only readbacks.
+  slam.finalize_pipelined()
+  errs_t = _translation_errors(video, traj_gt)
+  assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
+  assert slam.direct_ba.keyframe_count == 3
+  assert slam.direct_ba.surfel_count > 500
+
+
+def test_pipelined_matches_host_frontend():
+  """Pose-by-pose agreement with the host front-end on an identical run.
+  The two paths share the tracking math but differ in where the motion
+  model/gates run and in how interior frames anchor (base-keyframe compose
+  vs. deformation), so the comparison is against GT bounds, not bitwise."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+
+  video_h = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam_h = BadSlam(_config(), video_h)
+  for i in range(N_FRAMES):
+    slam_h.process_frame(i)
+
+  video_p = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam_p = BadSlam(_config(pipelined_frontend=True), video_p)
+  for i in range(N_FRAMES):
+    slam_p.process_frame(i)
+  slam_p.finalize_pipelined()
+
+  errs_h = _translation_errors(video_h, traj_gt)
+  errs_p = _translation_errors(video_p, traj_gt)
+  assert errs_p.max() < max(2.0 * errs_h.max(), 2e-3), (errs_h, errs_p)
+  # Same keyframe layout.
+  assert slam_p.keyframe_frame_indices == slam_h.keyframe_frame_indices
+
+
+def test_pipelined_with_loop_detection_host_images():
+  """Loop detection in pipelined mode extracts features from HOST image
+  copies; the detector database must still fill (one entry per keyframe)
+  without breaking the frame loop."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam = BadSlam(
+      _config(pipelined_frontend=True, enable_loop_detection=True,
+              parallel_loop_detection=False), video)
+  for i in range(N_FRAMES):
+    slam.process_frame(i)
+  slam.finalize_pipelined()
+  entries = [e for e in slam.loop_detector.entries if e is not None]
+  assert len(entries) == slam.direct_ba.keyframe_count
+  errs_t = _translation_errors(video, traj_gt)
+  assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
+
+
+def test_transfer_guard_actually_fires():
+  """The guard must catch both readback funnels, or the main test is vacuous."""
+  x = jnp.ones((3, 3))
+  with pytest.raises(AssertionError):
+    with forbid_device_to_host():
+      np.asarray(x)
+  with pytest.raises(AssertionError):
+    with forbid_device_to_host():
+      int(jnp.sum(x))
