@@ -41,6 +41,10 @@ def save_state(path: str, slam) -> None:
   # before the snapshot reads them.
   if hasattr(slam, "quiesce"):
     slam.quiesce()
+  # Pipelined runs keep per-frame poses on device; materialize them so the
+  # snapshot's trajectory is current (a snapshot is a readback anyway).
+  if getattr(slam, "_pipelined", False):
+    slam.finalize_pipelined()
   ba = slam.direct_ba
   kf = ba.kf
   s = ba.surfels
@@ -234,6 +238,15 @@ def load_state(path: str, slam) -> None:
   slam.num_planned_ba_iterations = int(data["num_planned_ba_iterations"])
   laba = data["last_active_in_ba_iteration"]
   ba.last_active_in_ba_iteration[: len(laba)] = laba
+
+  # Pipelined resume: the device state machine restarts constant-position
+  # from the restored base keyframe (snapshots don't carry the device
+  # history; an identity entry matches the motion-model reset at keyframe
+  # creation). Tracked frames before the snapshot keep their materialized
+  # poses from the trajectory restore above.
+  if getattr(slam, "_pipelined", False) and slam.base_kf_index is not None:
+    slam._pl.base_slot = slam.base_kf_index
+    slam._pl.hist_n = 1
 
 
 # --- calibration files (io.h:66-74) ---

@@ -170,6 +170,34 @@ def test_pipelined_with_loop_detection_host_images():
   assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
 
 
+def test_pipelined_state_save_resume(tmp_path):
+  """save_state during a pipelined run materializes the device trajectory
+  first; a pipelined resume restarts constant-position from the restored
+  base keyframe and keeps tracking."""
+  from badslam_tpu.io import state as state_io
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam = BadSlam(_config(pipelined_frontend=True), video)
+  for i in range(8):
+    slam.process_frame(i)
+  path = str(tmp_path / "state.npz")
+  state_io.save_state(path, slam)
+  # The snapshot's trajectory must be the materialized (current) one.
+  errs = _translation_errors(video, traj_gt[:8])
+  assert errs.max() < 5e-3
+
+  video2 = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam2 = BadSlam(_config(pipelined_frontend=True), video2)
+  state_io.load_state(path, slam2)
+  for i in range(8, N_FRAMES):
+    slam2.process_frame(i)
+  slam2.finalize_pipelined()
+  errs = _translation_errors(video2, traj_gt)
+  assert errs.max() < 5e-3, f"translation errors {errs}"
+
+
 def test_transfer_guard_actually_fires():
   """The guard must catch both readback funnels, or the main test is vacuous."""
   x = jnp.ones((3, 3))
