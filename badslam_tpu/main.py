@@ -31,8 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
   # Dataset playback (main.cc:96-134).
   p.add_argument("--depth_scaling", type=float, default=5000.0,
                  help="depth = depth_scaling * depth_in_meters")
-  p.add_argument("--target_frame_rate", type=float, default=0.0)
-  p.add_argument("--restrict_fps_to", type=int, default=30)
+  p.add_argument("--target_frame_rate", type=float, default=0.0,
+                 help="real-time mode: bound sequential-BA work by the frame"
+                      " budget at this rate (bad_slam_config.h:60-65; 0 ="
+                      " offline, BA runs to its planned budget)")
+  p.add_argument("--restrict_fps_to", type=int, default=30,
+                 help="pace playback to at most this FPS (EndFrame,"
+                      " bad_slam.cc:449-479); 0 disables pacing")
   p.add_argument("--start_frame", type=int, default=0)
   p.add_argument("--end_frame", type=int, default=2**31 - 1)
   p.add_argument("--pyramid_level_for_depth", type=int, default=0)
@@ -229,6 +234,10 @@ def run(args) -> int:
   for frame_index in range(config.start_frame, end + 1):
     with Timing.time("[BadSlam::ProcessFrame]"):
       slam.process_frame(frame_index)
+    # Playback pacing (EndFrame, bad_slam.cc:449-479): sleeps to at most
+    # --restrict_fps_to FPS (reference default 30 — real-time simulation);
+    # pass --restrict_fps_to 0 for unpaced benchmark runs.
+    slam.end_frame()
     video.frames[frame_index].clear_cache()
     frames_done += 1
     if not args.quiet and frames_done % 50 == 0:

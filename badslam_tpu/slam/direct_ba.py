@@ -560,6 +560,7 @@ class DirectBA:
       increase_ba_iteration_count: bool = True,
       max_inner_pose_iterations: int = 30,
       transfer_free: bool = False,
+      deadline: Optional[float] = None,
   ) -> Tuple[int, bool]:
     """BundleAdjustmentAlternating (direct_ba_alternating.cc:285-740).
 
@@ -570,6 +571,12 @@ class DirectBA:
     bad_slam.cc:1268-1289); used by the pipelined front-end to keep the
     whole live loop in the tunnel's speculative dispatch mode (PERF.md
     "tunnel dispatch modes").
+
+    deadline: absolute time.perf_counter() deadline for real-time mode —
+    the scheme loop stops before starting an iteration past it (the
+    reference's time_limit check, direct_ba_alternating.cc:703-709; like
+    the reference's, it bounds when iterations START — async device work
+    already dispatched still completes).
 
     Returns (num_iterations_done, converged).
     """
@@ -599,7 +606,15 @@ class DirectBA:
     iterations_done = 0
     kcount = self.keyframe_count
 
+    import time as _time
     for iteration in range(max_iterations):
+      # Real-time budget (direct_ba_alternating.cc:703-709): don't start
+      # another iteration past the frame deadline. The first iteration
+      # always runs — the caller only starts BA with time in hand.
+      if (deadline is not None and iteration > 0
+          and iteration >= min_iterations
+          and _time.perf_counter() > deadline):
+        break
       iterations_done += 1
 
       if fixed_active_set:

@@ -166,6 +166,12 @@ class BadSlam:
     self.last_frame_index = -1
     self.pose_estimated = False
     self.keyframe_created = False
+    # Real-time pacing state (bad_slam.cc EndFrame :449-479 and the
+    # sequential-BA time budget :213-278): actual_frame_start_time_ /
+    # target_frame_end_time_ in the reference.
+    self._actual_frame_start_time = 0.0
+    self._target_frame_end_time = 0.0
+    self._frame_timer_start: Optional[float] = None
     # frame_index of each keyframe slot (for trajectory deformation).
     self.keyframe_frame_indices: List[int] = []
 
@@ -210,6 +216,14 @@ class BadSlam:
     cfg = self.config
     video = self.rgbd_video
 
+    # Frame timer + real-time target bookkeeping (bad_slam.cc:180-183; the
+    # reference starts the timer after image I/O — here preprocessing loads
+    # lazily, so I/O is included unless the prefetcher already hid it).
+    import time as _time
+    self._frame_timer_start = _time.perf_counter()
+    if cfg.target_frame_rate > 0:
+      self._target_frame_end_time += 1.0 / cfg.target_frame_rate
+
     with Timing.time("Preprocessing"):
       processed = self.preprocess_frame(frame_index)
 
@@ -234,6 +248,15 @@ class BadSlam:
     self.keyframe_created = create_keyframe
 
     if self.num_planned_ba_iterations > 0:
+      # Real-time budget: only start sequential BA when there is frame time
+      # left (bad_slam.cc:213-219).
+      start_ba = True
+      if not self._parallel and cfg.target_frame_rate > 0:
+        elapsed = _time.perf_counter() - self._frame_timer_start
+        start_ba = (self._actual_frame_start_time + elapsed
+                    < self._target_frame_end_time)
+      if not start_ba:
+        return
       self.ba_counter += 1
       with self._ba_lock:
         k = self.direct_ba.keyframe_count + len(self._queued_keyframes)
@@ -247,15 +270,49 @@ class BadSlam:
             optimize_depth_intrinsics and cfg.use_photometric_residuals)
         self.num_planned_ba_iterations = 0
       else:
+        deadline = None
+        if cfg.target_frame_rate > 0:
+          # Remaining frame-time budget as an absolute deadline
+          # (bad_slam.cc:269: target_frame_end_time_ - actual_frame_start_time_).
+          deadline = (self._frame_timer_start
+                      + (self._target_frame_end_time
+                         - self._actual_frame_start_time))
         iterations_done, converged = self.run_bundle_adjustment(
             optimize_depth_intrinsics and cfg.use_geometric_residuals,
             optimize_depth_intrinsics and cfg.use_photometric_residuals,
-            self.num_planned_ba_iterations)
+            self.num_planned_ba_iterations,
+            deadline=deadline,
+            increase_ba_iteration_count=(cfg.target_frame_rate == 0))
         if converged:
           self.num_planned_ba_iterations = 0
         else:
           self.num_planned_ba_iterations = max(
               0, self.num_planned_ba_iterations - iterations_done)
+
+  def end_frame(self):
+    """EndFrame (bad_slam.cc:449-479): pace playback to fps_restriction; in
+    real-time mode (target_frame_rate > 0) allow catching up when behind."""
+    import time as _time
+    if self._frame_timer_start is None:
+      return
+    actual_frame_time = _time.perf_counter() - self._frame_timer_start
+    cfg = self.config
+    if cfg.fps_restriction > 0:
+      min_frame_time = 1.0 / cfg.fps_restriction
+      if cfg.target_frame_rate > 0:
+        min_frame_time = min(
+            min_frame_time,
+            self._target_frame_end_time - self._actual_frame_start_time)
+      if actual_frame_time < min_frame_time:
+        _time.sleep(min_frame_time - actual_frame_time)
+        self._actual_frame_start_time += min_frame_time
+      else:
+        self._actual_frame_start_time += actual_frame_time
+    else:
+      self._actual_frame_start_time += actual_frame_time
+      if self._actual_frame_start_time < self._target_frame_end_time:
+        # Simulate real-time without actually sleeping.
+        self._actual_frame_start_time = self._target_frame_end_time
 
   # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
 
@@ -268,6 +325,12 @@ class BadSlam:
     from badslam_tpu.slam import pipelined
     cfg = self.config
     ba = self.direct_ba
+
+    # Pacing bookkeeping (host-only — no transfers; see end_frame).
+    import time as _time
+    self._frame_timer_start = _time.perf_counter()
+    if cfg.target_frame_rate > 0:
+      self._target_frame_end_time += 1.0 / cfg.target_frame_rate
 
     with Timing.time("Preprocessing"):
       processed = self.preprocess_frame(frame_index)
@@ -801,8 +864,14 @@ class BadSlam:
 
   def run_bundle_adjustment(self, optimize_depth_intrinsics: bool,
                             optimize_color_intrinsics: bool,
-                            max_iterations: int) -> Tuple[int, bool]:
-    """RunBundleAdjustment, sequential path (bad_slam.cc:481-536)."""
+                            max_iterations: int,
+                            deadline: Optional[float] = None,
+                            increase_ba_iteration_count: bool = True,
+                            ) -> Tuple[int, bool]:
+    """RunBundleAdjustment, sequential path (bad_slam.cc:481-536). In
+    real-time mode the caller passes the frame deadline (perf_counter time)
+    and increase_ba_iteration_count=False, as the reference does for
+    target_frame_rate > 0 (bad_slam.cc:264-270)."""
     cfg = self.config
     k = self.direct_ba.keyframe_count
     original = np.asarray(self.direct_ba.kf.global_T_frame).copy()
@@ -817,7 +886,8 @@ class BadSlam:
           max_iterations=max_iterations,
           active_keyframe_window_start=0 if cfg.disable_deactivation else -1,
           active_keyframe_window_end=(k - 1) if cfg.disable_deactivation else -1,
-          increase_ba_iteration_count=True,
+          increase_ba_iteration_count=increase_ba_iteration_count,
+          deadline=deadline,
       )
     # Trajectory deformation + base keyframe pose refresh after BA — the
     # sequential path does this too (bad_slam.cc:524-530).

@@ -193,6 +193,18 @@ def main():
   if cpu_kf_iters_per_s is not None:
     out["cpu_backend_kf_iter_per_s"] = round(cpu_kf_iters_per_s, 2)
     out["vs_cpu_backend"] = round(kf_iters_per_s / cpu_kf_iters_per_s, 2)
+  # End-to-end FPS of the latest pipelined long-sequence run, if recorded
+  # (benchmarks/long_sequence.py --pipelined; 500 frames, 640x480, full
+  # pipeline incl. disk IO and loop detection).
+  try:
+    import os
+    rep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "long_sequence_pipelined_report.json")
+    with open(rep_path) as f:
+      rep = json.load(f)
+    out["pipelined_e2e_fps_640x480"] = rep.get("fps")
+  except Exception:
+    pass
   print(json.dumps(out))
 
 
