@@ -170,6 +170,28 @@ def test_pipelined_with_loop_detection_host_images():
   assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
 
 
+def test_pipelined_pcg_transfer_free():
+  """The joint PCG solver also runs transfer-free (gauge keyframe from the
+  host valid mirror, no update-norm scalar read)."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam = BadSlam(_config(pipelined_frontend=True, use_pcg=True), video)
+
+  warm_video = synthetic.make_synthetic_video(cam, traj_gt[:6], normals)
+  warm = BadSlam(_config(pipelined_frontend=True, use_pcg=True), warm_video)
+  for i in range(6):
+    warm.process_frame(i)
+
+  with forbid_device_to_host():
+    for i in range(N_FRAMES):
+      slam.process_frame(i)
+  slam.finalize_pipelined()
+  errs_t = _translation_errors(video, traj_gt)
+  assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
+
+
 def test_pipelined_state_save_resume(tmp_path):
   """save_state during a pipelined run materializes the device trajectory
   first; a pipelined resume restarts constant-position from the restored
