@@ -491,7 +491,15 @@ class DirectBA:
     # true device watermark first (one transfer, only on the rare growth
     # path) so repeated creations cannot ratchet the store to max capacity.
     if self._watermark_bound + headroom > self.surfels.capacity:
-      _ = self.surfel_watermark  # re-syncs _watermark_bound
+      if self.config.pipelined_frontend:
+        # Transfer-free mode: grow on the host upper bound alone. The bound
+        # ratchets by one creation pass's headroom regardless of how many
+        # surfels actually appended, so this over-grows — the price of
+        # keeping the tunnel in pipelined dispatch; the ratchet is capped by
+        # max_surfel_count and a post-run compaction reclaims the slack.
+        pass
+      else:
+        _ = self.surfel_watermark  # re-syncs _watermark_bound
     while (self._watermark_bound + headroom > self.surfels.capacity and
            self.surfels.capacity < self.config.max_surfel_count):
       self.surfels = surfels_mod.grow(

@@ -166,6 +166,10 @@ def main():
   p.add_argument("--loops", type=float, default=None,
                  help="number of orbits (default 2.0; drift/kidnap 1.15)")
   p.add_argument("--out", default=None)
+  p.add_argument("--generate_only", action="store_true",
+                 help="internal: render the dataset and exit (run in a "
+                      "subprocess so renderer readbacks don't de-pipeline "
+                      "the measuring process)")
   args = p.parse_args()
   biased = args.drift > 0 or args.kidnap > 0
   if args.radius is None:
@@ -175,13 +179,29 @@ def main():
   if biased and args.dataset == p.get_default("dataset"):
     args.dataset += "_excursion"
 
+  if args.generate_only:
+    ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
+                   radius=args.radius, loops=args.loops)
+    return 0
+
   from badslam_tpu.config import BadSlamConfig
   from badslam_tpu.eval import ate_rmse
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.slam.system import BadSlam
 
-  ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
-                 radius=args.radius, loops=args.loops)
+  # Render the dataset in a SUBPROCESS: the renderer is jax code whose
+  # readbacks would permanently drop THIS process's tunnel dispatch into
+  # sync mode before the measured run even starts (PERF.md "tunnel dispatch
+  # modes"). A cached dataset is detected without touching the device.
+  import subprocess
+  gen = subprocess.run(
+      [sys.executable, __file__, "--generate_only",
+       "--dataset", args.dataset, "--frames", str(args.frames),
+       "--size", args.size, "--radius", str(args.radius),
+       "--loops", str(args.loops)] + (["--noise"] if args.noise else []),
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  if gen.returncode != 0:
+    raise RuntimeError("dataset generation failed")
   video = dataset_io.load_tum_dataset(args.dataset, None)
   video.enable_native_prefetch()
   n = min(args.frames, video.frame_count())
@@ -193,6 +213,10 @@ def main():
       parallel_loop_detection=not args.sequential and not args.pipelined,
       enable_loop_detection=True,
       pipelined_frontend=args.pipelined,
+      # Pipelined runs pre-size the surfel store: the growth path's host
+      # bound over-estimates (see _ensure_surfel_capacity), and each growth
+      # doubling recompiles the BA programs for the new shape.
+      initial_surfel_capacity=(1 << 20) if args.pipelined else (1 << 16),
   )
   slam_cls = BadSlam
   # Kidnap: one odometry edge at 45% of the run (deep in the excursion, no
