@@ -213,10 +213,13 @@ def main():
       parallel_loop_detection=not args.sequential and not args.pipelined,
       enable_loop_detection=True,
       pipelined_frontend=args.pipelined,
-      # Pipelined runs pre-size the surfel store: the growth path's host
-      # bound over-estimates (see _ensure_surfel_capacity), and each growth
-      # doubling recompiles the BA programs for the new shape.
+      # Pipelined runs pre-size both stores: the surfel growth path's host
+      # bound over-estimates (see _ensure_surfel_capacity), and each
+      # capacity doubling of either store recompiles the BA programs for
+      # the new shape mid-run (tens of seconds each through the remote
+      # compile service).
       initial_surfel_capacity=(1 << 20) if args.pipelined else (1 << 16),
+      initial_keyframe_capacity=64 if args.pipelined else 16,
   )
   slam_cls = BadSlam
   # Kidnap: one odometry edge at 45% of the run (deep in the excursion, no

@@ -223,6 +223,62 @@ def config3_self_calibration(width, height):
           "pass": bool(err < 0.05)}
 
 
+def config5_pipelined(width, height, num_frames=30):
+  """Pipelined (transfer-free) front-end: full per-frame pipeline with BA,
+  zero device->host transfers inside the frame loop (enforced by the same
+  readback guard the unit tests use), finalized trajectory within the
+  odometry bound. Also reports warm frames/s of the transfer-free loop."""
+  import jax.numpy as jnp
+  from badslam_tpu.config import BadSlamConfig
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils import synthetic
+  import importlib
+  guard_mod = importlib.import_module("tests.test_pipelined")
+
+  cam = synthetic.default_test_camera(width, height)
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.002 * i, 0.0008 * i, -0.0005 * i, 0.0005 * i, -0.00025 * i,
+       0.0004 * i], jnp.float32))) for i in range(num_frames)]
+  def build():
+    video = synthetic.make_heightmap_video(cam, traj)
+    cfg = BadSlamConfig(
+        keyframe_interval=5, num_scales=4, max_depth=5.0,
+        odometry_convergence_threshold=1e-11,
+        sparse_surfel_cell_size=2,
+        min_observation_count_while_bootstrapping_1=1,
+        min_observation_count_while_bootstrapping_2=1,
+        min_observation_count=1,
+        enable_loop_detection=False, parallel_ba=False,
+        pipelined_frontend=True,
+        initial_keyframe_capacity=8, initial_surfel_capacity=1 << 16)
+    return BadSlam(cfg, video), video
+
+  warm, _ = build()  # compile outside the guard and the timed region
+  for i in range(num_frames):
+    warm.process_frame(i)
+
+  slam, video = build()
+  t0 = time.perf_counter()
+  with guard_mod.forbid_device_to_host():
+    for i in range(num_frames):
+      slam.process_frame(i)
+  elapsed = time.perf_counter() - t0
+  slam.finalize_pipelined()
+
+  est = np.stack([f.global_T_frame[:3, 3] for f in video.frames])
+  gt = np.stack([t[:3, 3] for t in traj])
+  from badslam_tpu.eval import ate_rmse
+  rmse, _ = ate_rmse(est, gt)
+  per_frame_bias_m = 8e-5 * (160.0 / width)
+  bound = 2.0 * per_frame_bias_m * num_frames / np.sqrt(3.0)
+  return {"ate_rmse_m": rmse, "frames": num_frames,
+          "transfer_free": True,  # the guard raised otherwise
+          "warm_frames_per_s": round(num_frames / elapsed, 2),
+          "ate_bound_m": round(float(bound), 5),
+          "pass": bool(rmse <= bound)}
+
+
 def config4_multichip():
   """Multi-device distributed BA (the driver separately dry-runs the
   sharded step on N devices). With a single visible device the dryrun is
@@ -267,7 +323,9 @@ def main():
                     lambda: config2_full_pipeline(w, h)),
                    ("config3_self_calibration",
                     lambda: config3_self_calibration(w, h)),
-                   ("config4_multichip", config4_multichip)]:
+                   ("config4_multichip", config4_multichip),
+                   ("config5_pipelined",
+                    lambda: config5_pipelined(w, h, args.frames))]:
     t0 = time.perf_counter()
     try:
       report[name] = fn()
