@@ -7,10 +7,10 @@ the render window's map view — operating directly on a `--save_state`
 snapshot (io/state.py), no dataset or SLAM run required.
 
 Usage:
-  python -m badslam_tpu.inspect state.npz
-  python -m badslam_tpu.inspect state.npz --render out/ --render_mode normals
-  python -m badslam_tpu.inspect state.npz --export_point_cloud map.ply
-  python -m badslam_tpu.inspect state.npz --export_poses traj.txt
+  python -m badslam_tpu.snapshot_inspector state.npz
+  python -m badslam_tpu.snapshot_inspector state.npz --render out/ --render_mode normals
+  python -m badslam_tpu.snapshot_inspector state.npz --export_point_cloud map.ply
+  python -m badslam_tpu.snapshot_inspector state.npz --export_poses traj.txt
 """
 
 from __future__ import annotations

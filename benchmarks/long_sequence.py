@@ -213,12 +213,14 @@ def main():
       parallel_loop_detection=not args.sequential and not args.pipelined,
       enable_loop_detection=True,
       pipelined_frontend=args.pipelined,
-      # Pipelined runs pre-size both stores: the surfel growth path's host
-      # bound over-estimates (see _ensure_surfel_capacity), and each
-      # capacity doubling of either store recompiles the BA programs for
-      # the new shape mid-run (tens of seconds each through the remote
-      # compile service).
-      initial_surfel_capacity=(1 << 20) if args.pipelined else (1 << 16),
+      # Pipelined runs pre-size both stores and CAP the surfel store: the
+      # dense BA phases cost O(capacity), the transfer-free growth bound
+      # over-estimates (it ratchets by one creation pass's headroom), and
+      # every capacity doubling recompiles the BA programs mid-run. 2^17 is
+      # ~2.8x the measured 500-frame map (46.9k surfels, round 2); at the
+      # cap, creation behaves like the reference at max_surfel_count.
+      initial_surfel_capacity=(1 << 17) if args.pipelined else (1 << 16),
+      max_surfel_count=(1 << 17) if args.pipelined else 25_000_000,
       initial_keyframe_capacity=64 if args.pipelined else 16,
   )
   slam_cls = BadSlam

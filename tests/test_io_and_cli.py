@@ -191,8 +191,8 @@ def test_state_snapshot_roundtrip(tmp_path):
   assert np.isfinite(video2.frames[4].global_T_frame).all()
 
   # The snapshot inspector summarizes/renders/exports without a dataset
-  # (the keyframe-dialog / status-display analog, badslam_tpu/inspect.py).
-  from badslam_tpu.inspect import main as inspect_main
+  # (the keyframe-dialog / status-display analog, badslam_tpu/snapshot_inspector.py).
+  from badslam_tpu.snapshot_inspector import main as inspect_main
   import contextlib, io
   ply = str(tmp_path / "insp.ply")
   poses = str(tmp_path / "insp_poses.txt")
