@@ -99,6 +99,9 @@ class LoopDetector:
     self.num_loops_closed = 0
     self.num_loops_ignored = 0
     self.events: List[LoopClosureEvent] = []
+    # Device-side closures (pipelined mode) whose outcome flag still lives
+    # on device; resolve_pending_device_events reads them at finalize.
+    self._pending_device_results: List = []
 
     # BoW retrieval (DBoW2 mechanism; loop/bow.py): the vocabulary is trained
     # online from the map's own descriptors once vocab_train_size keyframes
@@ -422,6 +425,101 @@ class LoopDetector:
     ny = (pts[:, 1] - float(cam.cy)) / float(cam.fy)
     return np.stack([depths * nx, depths * ny, depths], axis=-1)
 
+  def _verify_and_close_device(self, cur: KeyframeEntry, old: KeyframeEntry,
+                               old_T_cur: np.ndarray, cur_pts: np.ndarray,
+                               n_inliers: int, slam) -> LoopClosureEvent:
+    """Device-side verification + closure for the pipelined front-end: the
+    early gates reuse DirectBA's HOST mirrors (single-threaded mode — no
+    lock needed), then one jitted program refines, gates, and conditionally
+    applies the pose graph without any device->host transfer. The returned
+    event carries reason 'device-pending' until resolve_pending_device_events
+    reads the on-device outcome (called by finalize_pipelined)."""
+    import jax.numpy as jnp
+    from badslam_tpu.loop import device_closure
+    ev = lambda applied, reason, inl=0: LoopClosureEvent(
+        cur.kf_slot, old.kf_slot, inl, applied, reason)
+
+    ba = slam.direct_ba
+    k = ba.keyframe_count
+    valid = ba._kf_valid_host
+    if not (0 <= old.kf_slot < k and valid[old.kf_slot]):
+      return ev(False, "matched keyframe no longer valid")
+    nxt = next((i for i in range(old.kf_slot + 1, k) if valid[i]), None)
+    if nxt is None:
+      return ev(False, "no next keyframe for verification", n_inliers)
+    prv = next((i for i in range(old.kf_slot - 1, -1, -1) if valid[i]), None)
+    if prv is None:
+      prv = next((i for i in range(nxt + 1, k) if valid[i]), None)
+      if prv is None:
+        return ev(False, "no second keyframe for verification", n_inliers)
+
+    # Keypoints padded to a fixed bucket so candidates share one executable.
+    cap = 512
+    pts = np.zeros((cap, 3), np.float32)
+    n = min(len(cur_pts), cap)
+    pts[:n] = cur_pts[:n]
+    mask = np.zeros((cap,), bool)
+    mask[:n] = True
+
+    # Odometry edges between consecutive valid slots, padded to capacity-1
+    # with weight-0 self-edges (zero residual, zero Jacobian rows).
+    slots = [i for i in range(k) if valid[i]]
+    e_cap = max(1, ba.kf.capacity - 1)
+    ei = np.zeros((e_cap,), np.int32)
+    ej = np.zeros((e_cap,), np.int32)
+    w = np.zeros((e_cap,), np.float32)
+    for idx, (a_s, b_s) in enumerate(zip(slots[:-1], slots[1:])):
+      ei[idx], ej[idx], w[idx] = a_s, b_s, 1.0
+
+    cfg = slam.config
+    width, height = ba.depth_size
+    res = device_closure.verify_and_close(
+        ba.kf, ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
+        jnp.asarray(cur.kf_slot, jnp.int32), jnp.asarray(old.kf_slot, jnp.int32),
+        jnp.asarray(nxt, jnp.int32), jnp.asarray(prv, jnp.int32),
+        jnp.asarray(old_T_cur, jnp.float32),
+        jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray([float(self.camera.fx), float(self.camera.fy),
+                     float(self.camera.cx), float(self.camera.cy)],
+                    jnp.float32),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w),
+        width=width, height=height, cell_size=ba.cell_size,
+        num_scales=cfg.num_scales,
+        use_depth_residuals=cfg.use_geometric_residuals,
+        use_descriptor_residuals=cfg.use_photometric_residuals,
+        convergence_threshold=cfg.odometry_convergence_threshold,
+        residual_type=("gradmag" if cfg.use_gradmag_for_tracking
+                       else "gradient_xy"))
+    ba.kf = ba.kf._replace(global_T_frame=res.global_T_frame)
+    self._pending_device_results.append(res)
+    return ev(False, "device-pending", n_inliers)
+
+  def resolve_pending_device_events(self):
+    """Read back the outcomes of device-side closures (the pipelined run's
+    finalize step) and fix events + counters; device-pending events were
+    provisionally counted as ignored by add_keyframe."""
+    if not self._pending_device_results:
+      return
+    pending = iter(self._pending_device_results)
+    for i, event in enumerate(self.events):
+      if event.reason != "device-pending":
+        continue
+      res = next(pending)
+      if bool(res.applied):
+        event.applied = True
+        event.reason = "closed"
+        self.num_loops_ignored -= 1
+        self.num_loops_closed += 1
+        log.info(f"loop closed on device: kf {event.current_slot} -> "
+                 f"{event.matched_slot} ({event.inlier_count} inliers)")
+      elif bool(res.ba_enough):
+        event.reason = f"BA will absorb it (avg {float(res.avg_px):.2f} px)"
+      elif not bool(res.consistent):
+        event.reason = "refined estimates disagree"
+      else:
+        event.reason = "rejected on device"
+    self._pending_device_results = []
+
   def _verify_and_close(self, cur: KeyframeEntry, old: KeyframeEntry,
                         matches, slam) -> LoopClosureEvent:
     ev = lambda applied, reason, inl=0: LoopClosureEvent(
@@ -441,6 +539,14 @@ class LoopDetector:
     if old_T_cur is None:
       return ev(False, "RANSAC failed", int(inliers.sum()))
     n_inliers = int(inliers.sum())
+
+    if getattr(slam, "_pipelined", False):
+      # Pipelined front-end: everything past RANSAC runs as one conditional
+      # device program (loop/device_closure.py) — a host verification would
+      # read poses back and permanently de-pipeline the tunnel. The outcome
+      # stays on device; finalize_pipelined() resolves it.
+      return self._verify_and_close_device(cur, old, old_T_cur, cur_pts,
+                                           n_inliers, slam)
 
     # Direct refinement vs matched keyframe and its next/prev neighbors.
     # Snapshot shared pose state under the BA lock (a concurrent

@@ -1,0 +1,143 @@
+"""Loop-closure verification + application as ONE device program.
+
+The host verification chain (loop/detector.py::_verify_and_close, mirroring
+loop_detector.cc:284-705) reads keyframe poses back for the refinement
+inits, the consistency gates, the is-BA-enough test, and the pose graph —
+four device->host crossings per candidate. For the pipelined front-end
+(slam/pipelined.py) that is unacceptable: ONE readback permanently drops
+the TPU tunnel out of speculative dispatch.
+
+This module runs everything after RANSAC on device, conditionally:
+
+  refinement x3 (matched / next / prev keyframes, direct multi-scale
+  tracking on the stored keyframe stacks, loop_detector.cc:436-548)
+  -> mutual-consistency gates (<=10 deg, <=2 cm, :575-604)
+  -> pose averaging (:606-609)
+  -> is-BA-enough reprojection test (<=1 px mean keypoint motion, :624-666)
+  -> pose-graph LM over the whole keyframe store with the loop edge
+     (:670-705, loop/pose_graph.py's jitted core)
+  -> poses' = where(applied, optimized, original)
+
+Inputs that must come from the host are host-resident already in pipelined
+mode: the RANSAC initial estimate (computed from the detector's HOST
+keypoints/depths) and the static odometry-edge list (from DirectBA's host
+valid mirror). The outcome flag and diagnostics stay ON DEVICE; the
+detector stashes them as pending events that finalize_pipelined() resolves
+with the run's final readback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from badslam_tpu.geometry import se3
+from badslam_tpu.loop.pose_graph import _optimize_jit
+
+MAX_ANGLE_DIFFERENCE = 3.14159265 / 180.0 * 10.0  # loop_detector.cc:577
+MAX_EUCLIDEAN_DISTANCE = 0.02                     # loop_detector.cc:578
+AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0            # loop_detector.cc:655
+
+
+class DeviceClosureResult(NamedTuple):
+  global_T_frame: jax.Array  # (K, 4, 4) new keyframe poses
+  applied: jax.Array         # () bool
+  ba_enough: jax.Array       # () bool — candidate rejected as absorbable
+  consistent: jax.Array      # () bool — refinements mutually consistent
+  avg_px: jax.Array          # () float — mean keypoint reprojection motion
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cell_size", "num_scales",
+                     "use_depth_residuals", "use_descriptor_residuals",
+                     "convergence_threshold", "residual_type"))
+def verify_and_close(
+    kf,                      # KeyframeStore
+    depth_intr, a, cfactor, baseline_fx,
+    cur_slot, old_slot, nxt_slot, prv_slot,   # () int32
+    old_T_cur_init,          # (4,4) RANSAC estimate (host keypoints)
+    cur_pts, cur_pts_mask,   # (N,3) keypoint unprojections + (N,) mask
+    proj_intr,               # (4,) detector-camera fx,fy,cx,cy (is-BA-enough)
+    edges_i, edges_j, edge_weight,  # (E,) padded odometry-edge list
+    *, width: int, height: int, cell_size: int, num_scales: int,
+    use_depth_residuals: bool, use_descriptor_residuals: bool,
+    convergence_threshold: float, residual_type: str) -> DeviceClosureResult:
+  from badslam_tpu.slam.system import _odometry_jit  # late: avoids cycle
+
+  poses = kf.global_T_frame
+  g = lambda arr, i: jax.lax.dynamic_index_in_dim(arr, i, 0, keepdims=False)
+  matched_frame_T_global = se3.inverse(g(poses, old_slot))
+
+  def refine(slot):
+    """cur_T_old estimate via direct tracking of keyframe `slot` against the
+    current keyframe (loop_detector.cc:498-548)."""
+    matched_T_this = jnp.where(slot == old_slot,
+                               jnp.eye(4, dtype=jnp.float32),
+                               matched_frame_T_global @ g(poses, slot))
+    init = se3.inverse(old_T_cur_init) @ matched_T_this
+    cur_T_tracked, _ = _odometry_jit(
+        g(kf.depth, cur_slot), g(kf.normals, cur_slot),
+        g(kf.intensity, cur_slot),
+        g(kf.depth, slot), g(kf.normals, slot), g(kf.intensity, slot),
+        depth_intr, a, cfactor, baseline_fx, init, init,
+        width, height, cell_size, num_scales,
+        use_depth_residuals, use_descriptor_residuals,
+        True, convergence_threshold, residual_type)
+    old_T_cur_ref = matched_T_this @ se3.inverse(cur_T_tracked)
+    return se3.inverse(old_T_cur_ref)
+
+  refined = jnp.stack([refine(old_slot), refine(nxt_slot), refine(prv_slot)])
+
+  # Mutual-consistency gates over the three estimates.
+  consistent = jnp.asarray(True)
+  for i in range(2):
+    for j in range(i + 1, 3):
+      zi, zj = refined[i, :3, 2], refined[j, :3, 2]
+      ang = jnp.arccos(jnp.clip(zi @ zj, -1.0, 1.0))
+      dt = jnp.linalg.norm(refined[i, :3, 3] - refined[j, :3, 3])
+      consistent &= (ang <= MAX_ANGLE_DIFFERENCE)
+      consistent &= (dt <= MAX_EUCLIDEAN_DISTANCE)
+  consistent &= jnp.all(jnp.isfinite(refined))
+
+  cur_T_old_avg = se3.average_poses(refined)
+
+  # Is-BA-enough reprojection test on the (host-provided) keypoint cloud.
+  cur_T_global_est = cur_T_old_avg @ matched_frame_T_global
+  delta = cur_T_global_est @ g(poses, cur_slot)
+  moved = cur_pts @ delta[:3, :3].T + delta[:3, 3]
+  fx, fy, cx, cy = proj_intr[0], proj_intr[1], proj_intr[2], proj_intr[3]
+
+  def project(p):
+    z = p[:, 2]
+    okz = z > 0
+    zsafe = jnp.where(okz, z, 1.0)
+    return jnp.stack([fx * p[:, 0] / zsafe + cx,
+                      fy * p[:, 1] / zsafe + cy], axis=-1), okz
+
+  pe, oke = project(moved)
+  pc, okc = project(cur_pts)
+  both = oke & okc & cur_pts_mask
+  n_both = jnp.sum(both)
+  dist = jnp.linalg.norm(pe - pc, axis=1)
+  avg_px = jnp.sum(jnp.where(both, dist, 0.0)) / jnp.maximum(n_both, 1)
+  ba_enough = (n_both >= 5) & (avg_px <= AVERAGE_PIXEL_DISTANCE_THRESHOLD)
+
+  applied = consistent & jnp.logical_not(ba_enough)
+
+  # Pose graph: odometry edges (current relative poses => zero residual)
+  # plus the loop edge cur -> old with measurement cur_T_old_avg.
+  ei = jnp.concatenate([edges_i, cur_slot[None]])
+  ej = jnp.concatenate([edges_j, old_slot[None]])
+  odo_Z = se3.inverse(poses[edges_i]) @ poses[edges_j]
+  Z = jnp.concatenate([odo_Z, cur_T_old_avg[None]], axis=0)
+  w = jnp.concatenate([edge_weight, jnp.ones((1,), jnp.float32)])
+  optimized = _optimize_jit(poses, ei, ej, Z, w)
+  new_poses = jnp.where(applied, optimized, poses)
+
+  return DeviceClosureResult(
+      global_T_frame=new_poses, applied=applied, ba_enough=ba_enough,
+      consistent=consistent, avg_px=avg_px)

@@ -146,8 +146,14 @@ class BadSlam:
     self.direct_ba = DirectBA(config, depth_cam, color_cam, mesh=mesh)
     if loop_detector is None and config.enable_loop_detection:
       from badslam_tpu.loop.detector import LoopDetector
+      # Pipelined mode runs detection inline: the parallel detection thread
+      # pairs 1:1 with queue_for_detection, which the pipelined keyframe
+      # path does not use (its closures verify on device; see
+      # loop/device_closure.py).
       loop_detector = LoopDetector(
-          config, color_cam, parallel=config.parallel_loop_detection)
+          config, color_cam,
+          parallel=(config.parallel_loop_detection
+                    and not config.pipelined_frontend))
     self.loop_detector = loop_detector
 
     # Base-keyframe state (bad_slam.h:330+): index into the keyframe store,
@@ -468,6 +474,8 @@ class BadSlam:
     if not self._pipelined:
       return
     from badslam_tpu.slam import pipelined
+    if self.loop_detector is not None:
+      self.loop_detector.resolve_pending_device_events()
     poses = pipelined.finalize(
         self._pl, self.direct_ba.kf.global_T_frame,
         self.keyframe_frame_indices, self.last_frame_index)

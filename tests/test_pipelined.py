@@ -220,6 +220,57 @@ def test_pipelined_state_save_resume(tmp_path):
   assert errs.max() < 5e-3, f"translation errors {errs}"
 
 
+def test_pipelined_device_closure_applied_on_drifted_map():
+  """Device-side loop closure (loop/device_closure.py): the verification +
+  pose-graph chain runs as one conditional device program with ZERO
+  readbacks (guard-enforced); finalize resolves the outcome and the revisit
+  keyframe snaps back."""
+  from badslam_tpu.loop.detector import LoopDetector
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0.001 * i, 0, 0.0008 * i, 0, 0], jnp.float32)))
+      for i in range(10)]
+  traj.append(traj[0].copy())
+  video = synthetic.make_synthetic_video(cam, traj, normals,
+                                         texture_kind="checker")
+  cfg = _config(pipelined_frontend=True, keyframe_interval=2,
+                enable_loop_detection=True,
+                initial_surfel_capacity=1 << 14)
+  detector = LoopDetector(cfg, cam, recent_exclude=2)
+  slam = BadSlam(cfg, video, loop_detector=detector)
+  for i in range(10):
+    slam.process_frame(i)
+  assert slam.direct_ba.keyframe_count == 5
+
+  # Inject drift into the recent keyframes' DEVICE poses (the matched
+  # keyframe's neighborhood stays internally consistent, as real
+  # accumulated drift is).
+  drift = np.asarray([0.0, 0.0, 0.0, 0.06, 0.08], np.float32)
+  poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
+  for s in range(5):
+    poses[s][0, 3] += drift[s]
+  slam.direct_ba.kf = slam.direct_ba.kf._replace(
+      global_T_frame=jnp.asarray(poses))
+
+  # The revisit frame — detection, verification, closure, BA — must perform
+  # no device->host transfer.
+  with forbid_device_to_host():
+    slam.process_frame(10, force_keyframe=True)
+
+  assert detector.events, "no loop closure event was generated"
+  assert detector.events[-1].reason == "device-pending"
+  slam.finalize_pipelined()
+  event = detector.events[-1]
+  assert event.applied, f"closure not applied: {event.reason}"
+  assert event.matched_slot == 0
+  assert detector.num_loops_closed == 1
+
+  T10 = video.frames[10].global_T_frame
+  err = np.linalg.norm(T10[:3, 3] - traj[10][:3, 3])
+  assert err < 0.04, f"revisit pose error {err:.3f} m (drift was 0.08)"
+
+
 def test_transfer_guard_actually_fires():
   """The guard must catch both readback funnels, or the main test is vacuous."""
   x = jnp.ones((3, 3))
