@@ -242,16 +242,34 @@ def main():
     report["kidnap_m"] = args.kidnap
     report["kidnap_at_frame"] = kidnap_at
 
+  def drain():
+    """Wait for all queued device work (no host transfer)."""
+    if args.pipelined:
+      import jax
+      jax.block_until_ready(slam._pl.traj_rel)
+
+  # Steady-state window: the last 40% of the run, after every program shape
+  # has compiled (the axon backend has no persistent compile cache, so
+  # cumulative FPS is dominated by one-time compiles; see PERF.md).
+  steady_start = int(0.6 * n)
+  t_steady = None
   t0 = time.perf_counter()
   for i in range(n):
     slam.process_frame(i)
     video.frames[i].clear_cache()
+    if i + 1 == steady_start:
+      drain()
+      t_steady = time.perf_counter()
     if (i + 1) % 100 == 0:
       # surfel_count is a device read — keep the pipelined loop transfer-free.
       surfels = "n/a" if args.pipelined else slam.direct_ba.surfel_count
       print(f"frame {i + 1}/{n}: {(i + 1) / (time.perf_counter() - t0):.2f} "
             f"FPS, {slam.direct_ba.keyframe_count} keyframes, "
             f"{surfels} surfels", flush=True)
+  drain()
+  if t_steady is not None and n > steady_start:
+    report["steady_state_fps"] = round(
+        (n - steady_start) / (time.perf_counter() - t_steady), 2)
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
     slam.finalize_pipelined()
