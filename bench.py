@@ -203,6 +203,10 @@ def main():
     with open(rep_path) as f:
       rep = json.load(f)
     out["pipelined_e2e_fps_640x480"] = rep.get("fps")
+    # Compile-free steady state (the axon backend recompiles per process —
+    # no persistent cache — so the cumulative number mixes in one-time
+    # compiles; PERF.md "pipelined front-end").
+    out["pipelined_steady_state_fps_640x480"] = rep.get("steady_state_fps")
   except Exception:
     pass
   print(json.dumps(out))

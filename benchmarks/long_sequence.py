@@ -248,18 +248,24 @@ def main():
       import jax
       jax.block_until_ready(slam._pl.traj_rel)
 
-  # Steady-state window: the last 40% of the run, after every program shape
-  # has compiled (the axon backend has no persistent compile cache, so
-  # cumulative FPS is dominated by one-time compiles; see PERF.md).
-  steady_start = int(0.6 * n)
-  t_steady = None
-  t0 = time.perf_counter()
+  # Steady-state measurement: drain the device queue every 50 frames and
+  # take the MEDIAN span cost over the second half of the run — robust to
+  # the one-time jit-compile spikes that land whenever a store shape or a
+  # new program (e.g. the device-closure verifier) first appears; the axon
+  # backend has no persistent compile cache, so cumulative FPS mixes those
+  # in (see PERF.md).
+  span = 50
+  span_seconds = []
+  t_span = time.perf_counter()
+  t0 = t_span
   for i in range(n):
     slam.process_frame(i)
     video.frames[i].clear_cache()
-    if i + 1 == steady_start:
+    if (i + 1) % span == 0:
       drain()
-      t_steady = time.perf_counter()
+      now = time.perf_counter()
+      span_seconds.append(now - t_span)
+      t_span = now
     if (i + 1) % 100 == 0:
       # surfel_count is a device read — keep the pipelined loop transfer-free.
       surfels = "n/a" if args.pipelined else slam.direct_ba.surfel_count
@@ -267,9 +273,10 @@ def main():
             f"FPS, {slam.direct_ba.keyframe_count} keyframes, "
             f"{surfels} surfels", flush=True)
   drain()
-  if t_steady is not None and n > steady_start:
-    report["steady_state_fps"] = round(
-        (n - steady_start) / (time.perf_counter() - t_steady), 2)
+  if len(span_seconds) >= 2:
+    tail = span_seconds[len(span_seconds) // 2:]
+    report["steady_state_fps"] = round(span / float(np.median(tail)), 2)
+    report["span_s"] = [round(s, 2) for s in span_seconds]
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
     slam.finalize_pipelined()

@@ -118,6 +118,40 @@ def test_cli_end_to_end(tmp_path):
   assert os.path.getsize(timings_path) > 100
 
 
+def test_cli_pipelined_frontend(tmp_path):
+  """--pipelined_frontend end-to-end through the CLI: transfer-free run,
+  finalize materializes the trajectory before the exports."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _make_world()
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0.001 * i, 0, 0.0008 * i, 0, 0], jnp.float32)))
+      for i in range(6)]
+  _write_tum_dataset(str(tmp_path), cam, traj, normals)
+
+  from badslam_tpu.main import main
+  poses_path = str(tmp_path / "poses.txt")
+  ply_path = str(tmp_path / "cloud.ply")
+  rc = main([
+      str(tmp_path), "--keyframe_interval", "2", "--num_scales", "3",
+      "--max_depth", "5.0", "--sparsification", "2",
+      "--min_observation_count_while_bootstrapping_1", "1",
+      "--min_observation_count_while_bootstrapping_2", "1",
+      "--min_observation_count", "1",
+      "--no_loop_detection", "--pipelined_frontend", "--quiet",
+      "--restrict_fps_to", "0",
+      "--export_poses", poses_path,
+      "--export_point_cloud", ply_path,
+  ])
+  assert rc == 0
+  ts, poses = dataset_io.read_tum_trajectory(poses_path)
+  assert len(ts) == 6
+  for i in range(6):
+    err = np.linalg.norm(poses[i][:3, 3] - traj[i][:3, 3])
+    assert err < 6e-3, f"frame {i} error {err}"
+  pos, _, _ = state_io.load_point_cloud_ply(ply_path)
+  assert len(pos) > 300
+
+
 def test_cli_export_reconstruction(tmp_path):
   """--export_reconstruction (main.cc:796-855): dense geometry-only BA at the
   reconstruction sparsification produces a denser cloud on the GT planes."""
