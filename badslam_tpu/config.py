@@ -77,6 +77,10 @@ class BadSlamConfig:
   # transfers until finalize_pipelined(). Implies sequential BA and skips
   # the memory watchdog (slam/pipelined.py).
   pipelined_frontend: bool = False
+  # Fused VMEM preprocess kernel (ops/pallas_preprocess.py): auto-selected
+  # on the TPU backend for frames that fit the VMEM budget (3.9x the XLA
+  # stencil chain, bitwise-identical); set False to force the XLA path.
+  use_pallas_preprocess: bool = True
   estimate_poses: bool = True
   min_free_gpu_memory_mb: int = 250
 

@@ -31,10 +31,20 @@ def cfactor_shape(height: int, width: int, cell: int) -> tuple:
 
 def cfactor_image(cfactor: jax.Array, height: int, width: int, cell: int) -> jax.Array:
   """Upsample the cell grid to a full (H, W) image by nearest lookup
-  (cfactor_buffer(py/cell, px/cell) in the reference kernels)."""
-  ys = (jnp.arange(height) // cell).astype(jnp.int32)
-  xs = (jnp.arange(width) // cell).astype(jnp.int32)
-  return cfactor[ys[:, None], xs[None, :]]
+  (cfactor_buffer(py/cell, px/cell) in the reference kernels).
+
+  Implemented as two 0/1 selection MATMULS (U_y @ grid @ S_x with
+  U_y[p, i] = [p//cell == i]) instead of a 2-D gather: identical values,
+  MXU-friendly, and — unlike gather or a lane-axis repeat+reshape —
+  lowerable by Pallas/Mosaic, so the fused preprocess kernel
+  (ops/pallas_preprocess.py) can inline it."""
+  hc, wc = cfactor.shape
+  dt = cfactor.dtype
+  uy = (jnp.arange(height)[:, None] // cell
+        == jnp.arange(hc)[None, :]).astype(dt)
+  sx = (jnp.arange(wc)[:, None]
+        == jnp.arange(width)[None, :] // cell).astype(dt)
+  return uy @ cfactor @ sx
 
 
 def calibrate_depth_image(a, cfactor: jax.Array, depth: jax.Array,

@@ -22,9 +22,19 @@ from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.ops import depth_model
 
 
+def _mask3(mask: jax.Array) -> jax.Array:
+  """bool (H, W) -> (H, W, 1) via a 32-bit round trip: Mosaic only supports
+  minor-dim insertion on 32-bit types, so the Pallas preprocess kernel
+  cannot lower a direct bool[..., None] (ops/pallas_preprocess.py)."""
+  return mask.astype(jnp.float32)[..., None] > 0.5
+
+
 def _shifted(padded: jax.Array, dy: int, dx: int, h: int, w: int, radius: int) -> jax.Array:
-  """View of the padded image shifted by (dy, dx), shape (h, w)."""
-  return jax.lax.dynamic_slice(padded, (radius + dy, radius + dx), (h, w))
+  """View of the padded image shifted by (dy, dx), shape (h, w). Static
+  slicing (offsets are Python ints) — also what Pallas/Mosaic can lower,
+  unlike lax.dynamic_slice (ops/pallas_preprocess.py reuses these
+  stencils inside its kernel)."""
+  return padded[radius + dy:radius + dy + h, radius + dx:radius + dx + w]
 
 
 def bilateral_filter_and_cutoff(
@@ -74,6 +84,93 @@ def bilateral_filter_and_cutoff(
   return jnp.where(ok, out, 0.0)
 
 
+def compute_normals_planar(
+    depth: jax.Array,
+    camera: PinholeCamera,
+    a,
+    cfactor: jax.Array,
+    cell: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+  """compute_normals in PLANAR form: 3-D points carried as (x, y, z)
+  component planes instead of (H, W, 3) arrays. Identical math; this is the
+  VMEM-native layout (a 3-wide minor dimension tiles terribly against the
+  128-lane registers, and Pallas/Mosaic cannot lower the minor-dim stacks
+  at all — ops/pallas_preprocess.py runs this inside its kernel).
+
+  Returns (out_depth, normal_x, normal_y)."""
+  h, w = depth.shape
+  calib = depth_model.calibrate_depth_image(a, cfactor, depth, cell)
+
+  valid = depth > 0.0
+  # f32 round trip: Mosaic cannot pad i1 vectors (pallas_preprocess.py).
+  padded_valid = jnp.pad(valid.astype(jnp.float32), 1) > 0.5
+  padded_calib = jnp.pad(calib, 1)
+
+  def shift(arr, dy, dx):
+    return arr[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+  v_l, v_r = shift(padded_valid, 0, -1), shift(padded_valid, 0, 1)
+  v_t, v_b = shift(padded_valid, -1, 0), shift(padded_valid, 1, 0)
+  all_valid = valid & v_l & v_r & v_t & v_b
+
+  # Border pixels invalid (kBorder = 1). Built from iota comparisons —
+  # scatter-free so Pallas/Mosaic can lower it (pallas_preprocess.py).
+  ys_b = jnp.arange(h)[:, None]
+  xs_b = jnp.arange(w)[None, :]
+  border = ((ys_b == 0) | (ys_b == h - 1) | (xs_b == 0) | (xs_b == w - 1))
+  all_valid = all_valid & ~border
+
+  d_c = calib
+  d_l, d_r = shift(padded_calib, 0, -1), shift(padded_calib, 0, 1)
+  d_t, d_b = shift(padded_calib, -1, 0), shift(padded_calib, 1, 0)
+
+  xs = jnp.arange(w)[None, :].astype(depth.dtype)
+  ys = jnp.arange(h)[:, None].astype(depth.dtype)
+
+  def unproj(px, py, d):
+    """(x, y, z) component planes of the unprojection."""
+    return (d * (camera.fx_inv * px + camera.cx_inv),
+            d * (camera.fy_inv * py + camera.cy_inv),
+            d)
+
+  p_c = unproj(xs, ys, d_c)
+  p_l = unproj(xs - 1, ys, d_l)
+  p_r = unproj(xs + 1, ys, d_r)
+  p_t = unproj(xs, ys - 1, d_t)
+  p_b = unproj(xs, ys + 1, d_b)
+
+  ratio_thr_sq = 4.0  # kRatioThreshold = 2
+
+  def pick_difference(p_neg, p_pos):
+    """Occlusion-aware difference: full central difference when the two sides
+    have comparable distances; else one-sided toward the nearer side."""
+    neg_sq = sum((n - c) ** 2 for n, c in zip(p_neg, p_c))
+    pos_sq = sum((p - c) ** 2 for p, c in zip(p_pos, p_c))
+    ratio = neg_sq / jnp.maximum(pos_sq, 1e-30)
+    use_central = (ratio < ratio_thr_sq) & (ratio > 1.0 / ratio_thr_sq)
+    nearer_neg = neg_sq < pos_sq
+    return tuple(
+        jnp.where(use_central, pos - neg,
+                  jnp.where(nearer_neg, c - neg, pos - c))
+        for neg, pos, c in zip(p_neg, p_pos, p_c))
+
+  ax, ay, az = pick_difference(p_l, p_r)   # left-to-right
+  bx, by, bz = pick_difference(p_b, p_t)   # bottom-to-top
+
+  nx = ay * bz - az * by
+  ny = az * bx - ax * bz
+  nz = ax * by - ay * bx
+  length = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+  degenerate = ~(length > 1e-6)
+  sign = jnp.where(camera.fy_inv < 0, -1.0, 1.0)
+  inv_len = sign / jnp.where(degenerate, 1.0, length)
+  keep = all_valid & ~degenerate
+  out_x = jnp.where(keep, nx * inv_len, 0.0)
+  out_y = jnp.where(keep, ny * inv_len, 0.0)
+  out_depth = jnp.where(all_valid, depth, 0.0)
+  return out_depth, out_x, out_y
+
+
 def compute_normals(
     depth: jax.Array,
     camera: PinholeCamera,
@@ -90,77 +187,9 @@ def compute_normals(
       (z is reconstructed as -sqrt(max(0, 1-x^2-y^2)) when needed).
   Normals are computed on *calibrated* depth.
   """
-  h, w = depth.shape
-  calib = depth_model.calibrate_depth_image(a, cfactor, depth, cell)
-
-  valid = depth > 0.0
-  padded_valid = jnp.pad(valid, 1)
-  padded_calib = jnp.pad(calib, 1)
-
-  def shift(arr, dy, dx):
-    return jax.lax.dynamic_slice(arr, (1 + dy, 1 + dx), (h, w))
-
-  v_l, v_r = shift(padded_valid, 0, -1), shift(padded_valid, 0, 1)
-  v_t, v_b = shift(padded_valid, -1, 0), shift(padded_valid, 1, 0)
-  all_valid = valid & v_l & v_r & v_t & v_b
-
-  # Border pixels invalid (kBorder = 1)
-  border = jnp.zeros_like(valid)
-  border = border.at[0, :].set(True).at[-1, :].set(True)
-  border = border.at[:, 0].set(True).at[:, -1].set(True)
-  all_valid = all_valid & ~border
-
-  d_c = calib
-  d_l, d_r = shift(padded_calib, 0, -1), shift(padded_calib, 0, 1)
-  d_t, d_b = shift(padded_calib, -1, 0), shift(padded_calib, 1, 0)
-
-  xs = jnp.arange(w, dtype=depth.dtype)[None, :]
-  ys = jnp.arange(h, dtype=depth.dtype)[:, None]
-
-  def unproj(px, py, d):
-    return jnp.stack(
-        [d * (camera.fx_inv * px + camera.cx_inv),
-         d * (camera.fy_inv * py + camera.cy_inv),
-         d],
-        axis=-1,
-    )
-
-  p_c = unproj(xs, ys, d_c)
-  p_l = unproj(xs - 1, ys, d_l)
-  p_r = unproj(xs + 1, ys, d_r)
-  p_t = unproj(xs, ys - 1, d_t)
-  p_b = unproj(xs, ys + 1, d_b)
-
-  ratio_thr_sq = 4.0  # kRatioThreshold = 2
-
-  def pick_difference(p_neg, p_pos):
-    """Occlusion-aware difference: full central difference when the two sides
-    have comparable distances; else one-sided toward the nearer side."""
-    neg_sq = jnp.sum((p_neg - p_c) ** 2, axis=-1)
-    pos_sq = jnp.sum((p_pos - p_c) ** 2, axis=-1)
-    ratio = neg_sq / jnp.maximum(pos_sq, 1e-30)
-    central = p_pos - p_neg
-    use_central = (ratio < ratio_thr_sq) & (ratio > 1.0 / ratio_thr_sq)
-    one_sided = jnp.where(
-        (neg_sq < pos_sq)[..., None], p_c - p_neg, p_pos - p_c
-    )
-    return jnp.where(use_central[..., None], central, one_sided)
-
-  left_to_right = pick_difference(p_l, p_r)
-  bottom_to_top = pick_difference(p_b, p_t)
-
-  normal = jnp.cross(left_to_right, bottom_to_top)
-  length = jnp.linalg.norm(normal, axis=-1)
-  degenerate = ~(length > 1e-6)
-  sign = jnp.where(camera.fy_inv < 0, -1.0, 1.0)
-  inv_len = sign / jnp.where(degenerate, 1.0, length)
-  nxy = normal[..., 0:2] * inv_len[..., None]
-  nxy = jnp.where(degenerate[..., None], jnp.stack(
-      [jnp.zeros_like(length), jnp.zeros_like(length)], axis=-1), nxy)
-
-  out_depth = jnp.where(all_valid, depth, 0.0)
-  nxy = jnp.where(all_valid[..., None], nxy, 0.0)
-  return out_depth, nxy
+  out_depth, out_x, out_y = compute_normals_planar(
+      depth, camera, a, cfactor, cell)
+  return out_depth, jnp.stack([out_x, out_y], axis=-1)
 
 
 def normal_z(nxy: jax.Array) -> jax.Array:
@@ -188,21 +217,21 @@ def compute_radii_and_remove_isolated(
   h, w = depth.shape
   valid = depth > 0.0
   padded = jnp.pad(depth, 1)
-  padded_valid = jnp.pad(valid, 1)
+  # f32 round trip: Mosaic cannot pad i1 vectors (pallas_preprocess.py).
+  padded_valid = jnp.pad(valid.astype(jnp.float32), 1) > 0.5
 
   def shift(arr, dy, dx):
-    return jax.lax.dynamic_slice(arr, (1 + dy, 1 + dx), (h, w))
+    return arr[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
-  xs = jnp.arange(w, dtype=depth.dtype)[None, :]
-  ys = jnp.arange(h, dtype=depth.dtype)[:, None]
+  xs = jnp.arange(w)[None, :].astype(depth.dtype)
+  ys = jnp.arange(h)[:, None].astype(depth.dtype)
 
   def unproj(px, py, d):
-    return jnp.stack(
-        [d * (camera.fx_inv * px + camera.cx_inv),
-         d * (camera.fy_inv * py + camera.cy_inv),
-         d],
-        axis=-1,
-    )
+    """(x, y, z) component planes — planar form; see compute_normals_planar
+    for why (VMEM layout + Pallas lowering)."""
+    return (d * (camera.fx_inv * px + camera.cx_inv),
+            d * (camera.fy_inv * py + camera.cy_inv),
+            d)
 
   p_c = unproj(xs, ys, depth)
 
@@ -212,7 +241,7 @@ def compute_radii_and_remove_isolated(
     d_n = shift(padded, dy, dx)
     v_n = shift(padded_valid, dy, dx)
     p_n = unproj(xs + dx, ys + dy, d_n)
-    dist_sq = jnp.sum((p_n - p_c) ** 2, axis=-1)
+    dist_sq = sum((n - c) ** 2 for n, c in zip(p_n, p_c))
     min_sq = jnp.where(v_n & (dist_sq < min_sq), dist_sq, min_sq)
     count = count + v_n.astype(jnp.int32)
 
@@ -279,7 +308,7 @@ def median_filter_and_densify(depth: jax.Array, iterations: int) -> jax.Array:
     valids = []
     for dy in (-1, 0, 1):
       for dx in (-1, 0, 1):
-        s = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+        s = padded[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
         samples.append(s)
         valids.append(s > 0.0)
     stack = jnp.stack(samples, axis=0)  # (9, H, W)

