@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                  help="transfer-free front-end: zero device->host transfers"
                       " during the run (keeps the TPU tunnel in pipelined"
                       " dispatch; implies --sequential_ba)")
+  p.add_argument("--no_pallas_preprocess", action="store_true",
+                 help="force the XLA stencil chain instead of the fused"
+                      " Pallas preprocess kernel (ops/pallas_preprocess.py)")
 
   # Memory (main.cc:247-257).
   p.add_argument("--max_surfel_count", type=int, default=25_000_000)
@@ -185,6 +188,7 @@ def config_from_args(args) -> BadSlamConfig:
       parallel_ba=not args.sequential_ba,
       use_pcg=args.use_pcg,
       pipelined_frontend=args.pipelined_frontend,
+      use_pallas_preprocess=not args.no_pallas_preprocess,
       enable_loop_detection=not args.no_loop_detection,
       parallel_loop_detection=not args.sequential_loop_detection,
       loop_detection_image_frequency=args.loop_detection_image_frequency,
