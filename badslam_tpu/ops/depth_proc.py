@@ -22,13 +22,6 @@ from badslam_tpu.geometry.camera import PinholeCamera
 from badslam_tpu.ops import depth_model
 
 
-def _mask3(mask: jax.Array) -> jax.Array:
-  """bool (H, W) -> (H, W, 1) via a 32-bit round trip: Mosaic only supports
-  minor-dim insertion on 32-bit types, so the Pallas preprocess kernel
-  cannot lower a direct bool[..., None] (ops/pallas_preprocess.py)."""
-  return mask.astype(jnp.float32)[..., None] > 0.5
-
-
 def _shifted(padded: jax.Array, dy: int, dx: int, h: int, w: int, radius: int) -> jax.Array:
   """View of the padded image shifted by (dy, dx), shape (h, w). Static
   slicing (offsets are Python ints) — also what Pallas/Mosaic can lower,

@@ -37,13 +37,14 @@ _MAX_PIXELS = 640 * 480
 
 
 def should_use(height: int, width: int) -> bool:
-  """Auto-selection: the fused kernel on the TPU backend for frames whose
-  working set fits VMEM; the XLA chain elsewhere (CPU interpret mode is for
+  """Auto-selection: the fused kernel ONLY on the TPU backend (pltpu memory
+  spaces/compiler params don't lower elsewhere) and only for frames whose
+  working set fits VMEM; the XLA chain otherwise (CPU interpret mode is for
   tests only)."""
   if height * width > _MAX_PIXELS:
     return False
   import jax
-  return jax.default_backend() not in ("cpu",)
+  return jax.default_backend() == "tpu"
 
 
 def _kernel(intr_ref, scal_ref, depth_ref, cfactor_ref,

@@ -383,6 +383,10 @@ class BadSlam:
         self._pl.hist_n = min(3, self._pl.hist_n + 1)
         self._pl.traj_slot[frame_index] = self._pl.base_slot
       self.pose_estimated = True
+      # Fault-injection seam (benchmarks/long_sequence.py wrappers): mutate
+      # the device tracking state between tracking and keyframe creation —
+      # the pipelined analog of overriding run_odometry.
+      self._after_pipelined_tracking(frame_index)
     self.last_frame_index = max(self.last_frame_index, frame_index)
 
     create_keyframe = (
@@ -418,6 +422,10 @@ class BadSlam:
             transfer_free=True)
       self.num_planned_ba_iterations -= 1
 
+  def _after_pipelined_tracking(self, frame_index: int):
+    """Hook between tracking and keyframe creation in the pipelined loop;
+    no-op by default (fault-injection wrappers override it)."""
+
   def _create_keyframe_pipelined(self, frame_index: int,
                                  processed: ProcessedFrame):
     """CreateKeyframe without readbacks: the keyframe pose is composed on
@@ -430,7 +438,11 @@ class BadSlam:
     ba = self.direct_ba
     cfg = self.config
 
-    if ba.keyframe_count == 0:
+    if ba.keyframe_count == 0 or not cfg.estimate_poses:
+      # First keyframe, or mapping-only mode (--no_pose_estimation): use the
+      # dataset's pose, as the host create_keyframe does — without tracking
+      # the device history stays identity and composing from the base
+      # keyframe would collapse all keyframes onto the first.
       pose_dev = jnp.asarray(
           self.rgbd_video.frames[frame_index].global_T_frame, jnp.float32)
     else:
@@ -482,6 +494,13 @@ class BadSlam:
       intensity = np.clip(luma, 0.0, 255.0) * (1.0 / 255.0)
       depth = np.asarray(self.rgbd_video.depth_metric(frame_index),
                          np.float32)
+      # Match the processed depth's validity semantics where it matters for
+      # keypoints: the max-depth cutoff (processed.depth zeroes those
+      # pixels; without this, pipelined closures would admit far points the
+      # host path excludes). The bilateral smoothing and isolated-pixel
+      # removal remain host-side deviations — sub-threshold for RANSAC's
+      # 0.06 m gate.
+      depth = np.where((depth > 0.0) & (depth <= cfg.max_depth), depth, 0.0)
       return intensity.astype(np.float32), depth
     return (np.asarray(processed.intensity), np.asarray(processed.depth))
 

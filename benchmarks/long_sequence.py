@@ -92,6 +92,19 @@ def make_biased_slam(slam_cls, bias_m_for_frame):
         self.rgbd_video.frames[frame_index].global_T_frame = (
             self.base_kf_global_T_frame @ drifted)
 
+    def _after_pipelined_tracking(self, frame_index):
+      # Pipelined analog: post-compose the bias into the device history's
+      # newest entry AND the recorded relative trajectory for this frame.
+      b = bias_m_for_frame(frame_index)
+      if b == 0.0:
+        return
+      import jax.numpy as jnp
+      bias = np.eye(4, dtype=np.float32)
+      bias[0, 3] = b
+      drifted = self._pl.hist[2] @ jnp.asarray(bias)
+      self._pl.hist = self._pl.hist.at[2].set(drifted)
+      self._pl.traj_rel = self._pl.traj_rel.at[frame_index].set(drifted)
+
   return BiasedSlam
 
 
@@ -132,6 +145,20 @@ def make_kidnapped_slam(slam_cls, offset_m, at_frame):
           self.rgbd_video.frames[frame_index].global_T_frame = (
               self.base_kf_global_T_frame @ drifted)
       super().create_keyframe(frame_index, processed)
+
+    def _create_keyframe_pipelined(self, frame_index, processed):
+      # Pipelined analog: compose the bias into the DEVICE motion history's
+      # newest entry; it flows into the keyframe pose and the subsequent
+      # anchoring exactly like the host-path injection (H2D only — the
+      # injection itself stays transfer-free).
+      if self._kidnap_pending and frame_index >= at_frame and self._pl.hist_n:
+        self._kidnap_pending = False
+        import jax.numpy as jnp
+        bias = np.eye(4, dtype=np.float32)
+        bias[0, 3] = offset_m
+        self._pl.hist = self._pl.hist.at[2].set(
+            self._pl.hist[2] @ jnp.asarray(bias))
+      super()._create_keyframe_pipelined(frame_index, processed)
 
   return KidnappedSlam
 

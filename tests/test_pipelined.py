@@ -271,6 +271,26 @@ def test_pipelined_device_closure_applied_on_drifted_map():
   assert err < 0.04, f"revisit pose error {err:.3f} m (drift was 0.08)"
 
 
+def test_pipelined_mapping_only_uses_dataset_poses():
+  """--no_pose_estimation in pipelined mode: keyframes must take the
+  dataset's ground-truth poses (tracking never runs, so composing from the
+  base keyframe would collapse everything onto the first pose)."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(8)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  for i, T in enumerate(traj_gt):
+    video.frames[i].global_T_frame = np.asarray(T, np.float32)
+  slam = BadSlam(_config(pipelined_frontend=True, estimate_poses=False,
+                         keyframe_interval=2), video)
+  for i in range(8):
+    slam.process_frame(i)
+  slam.finalize_pipelined()
+  kf_poses = np.asarray(slam.direct_ba.kf.global_T_frame)
+  for slot, fi in enumerate(slam.keyframe_frame_indices):
+    np.testing.assert_allclose(kf_poses[slot], traj_gt[fi], atol=1e-4)
+
+
 def test_transfer_guard_actually_fires():
   """The guard must catch both readback funnels, or the main test is vacuous."""
   x = jnp.ones((3, 3))
