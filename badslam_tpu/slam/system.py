@@ -59,20 +59,27 @@ class ProcessedFrame(NamedTuple):
     jax.jit,
     static_argnames=("width", "height", "cell_size", "sigma_xy",
                      "sigma_inv_depth", "radius_factor", "max_depth",
-                     "use_pallas"))
+                     "use_pallas", "raw_scale"))
 def _preprocess_jit(
     raw_depth, rgb, depth_intr, a, cfactor,
     width: int, height: int, cell_size: int,
     sigma_xy: float, sigma_inv_depth: float, radius_factor: float,
-    max_depth: float, use_pallas: bool = False,
+    max_depth: float, use_pallas: bool = False, raw_scale: float = 1.0,
 ) -> ProcessedFrame:
   """PreprocessFrame GPU part (bad_slam.cc:688-761): brightness, bilateral
   filter + cutoff, normals, radii/isolated-pixel removal. use_pallas routes
   the depth stencil chain through the fused VMEM kernel
   (ops/pallas_preprocess.py; 3.9x the XLA chain on TPU, bitwise-identical);
-  intensity stays in XLA either way."""
+  intensity stays in XLA either way.
+
+  raw_depth may arrive as uint16 sensor counts with raw_scale = the
+  dataset's raw_to_float_depth: the metric conversion then runs on device,
+  halving the per-frame H2D payload — the reference likewise uploads u16 and
+  calibrates on the GPU (bad_slam.cc:663-685, kernel_downsample.cu:345)."""
   cam = make_camera(depth_intr, width, height)
   intensity = image_proc.rgb_to_intensity(rgb)
+  if raw_depth.dtype != jnp.float32 or raw_scale != 1.0:
+    raw_depth = raw_depth.astype(jnp.float32) * raw_scale
   if use_pallas:
     from badslam_tpu.ops import pallas_preprocess
     filtered_a, normals, radius_sq = pallas_preprocess.fused_depth_preprocess(
@@ -521,14 +528,25 @@ class BadSlam:
   def preprocess_frame(self, frame_index: int) -> ProcessedFrame:
     cfg = self.config
     video = self.rgbd_video
-    raw = video.depth_metric(frame_index)
-    if cfg.median_filter_and_densify_iterations > 0:
-      raw = np.asarray(depth_proc.median_filter_and_densify(
-          jnp.asarray(raw), cfg.median_filter_and_densify_iterations))
+    raw_scale = 1.0
+    if (cfg.median_filter_and_densify_iterations == 0
+        and cfg.pyramid_level_for_depth == 0):
+      # Hot path: upload the u16 sensor counts as-is and convert to metric
+      # on device — half the depth H2D bytes of the f32 path.
+      raw = video.frames[frame_index].depth_raw()
+      if raw.dtype == np.uint16:
+        raw_scale = float(video.raw_to_float_depth)
+      else:
+        raw = raw.astype(np.float32) * video.raw_to_float_depth
+    else:
+      raw = video.depth_metric(frame_index)
+      if cfg.median_filter_and_densify_iterations > 0:
+        raw = np.asarray(depth_proc.median_filter_and_densify(
+            jnp.asarray(raw), cfg.median_filter_and_densify_iterations))
+      if cfg.pyramid_level_for_depth > 0:
+        raw = depth_proc.downscale_depth_median_excluding_invalid(
+            jnp.asarray(raw), cfg.pyramid_level_for_depth)
     rgb = video.frames[frame_index].rgb()
-    if cfg.pyramid_level_for_depth > 0:
-      raw = depth_proc.downscale_depth_median_excluding_invalid(
-          jnp.asarray(raw), cfg.pyramid_level_for_depth)
     if cfg.pyramid_level_for_color > 0:
       rgb = depth_proc.downscale_rgb(jnp.asarray(rgb),
                                      cfg.pyramid_level_for_color)
@@ -544,7 +562,7 @@ class BadSlam:
         w, h, ba.cell_size,
         cfg.bilateral_filter_sigma_xy, cfg.bilateral_filter_sigma_inv_depth,
         cfg.bilateral_filter_radius_factor, cfg.max_depth,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, raw_scale=raw_scale)
 
   def predict_frame_pose(self) -> Tuple[np.ndarray, np.ndarray]:
     """Two constant-velocity hypotheses (bad_slam.cc:763-825), as
