@@ -140,6 +140,12 @@ def build_parser() -> argparse.ArgumentParser:
                  help="screen-space splat half-extent (main.cc:285-287)")
   p.add_argument("--render_every", type=int, default=1,
                  help="render every Nth keyframe viewpoint")
+  p.add_argument("--prewarm", action="store_true",
+                 help="compile the live loop's device programs on synthetic"
+                      " frames of the dataset's shape before the first real"
+                      " frame, so jit compiles spike at startup instead of"
+                      " mid-run (the autotune-database-preload analog,"
+                      " main.cc:437-447)")
   p.add_argument("--quiet", action="store_true")
   p.add_argument("--log_level", default=None,
                  choices=["debug", "info", "warning", "error", "fatal"],
@@ -231,6 +237,11 @@ def run(args) -> int:
     state_io.load_calibration(args.import_calibration, slam)
   if args.load_state:
     state_io.load_state(args.load_state, slam)
+  if args.prewarm:
+    t_warm = time.perf_counter()
+    slam.prewarm()
+    if not args.quiet:
+      log.info(f"Prewarm finished in {time.perf_counter() - t_warm:.1f} s")
 
   end = min(video.frame_count() - 1, config.end_frame)
   t_start = time.perf_counter()

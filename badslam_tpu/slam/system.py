@@ -344,6 +344,57 @@ class BadSlam:
         # Simulate real-time without actually sleeping.
         self._actual_frame_start_time = self._target_frame_end_time
 
+  def prewarm(self, num_keyframes: int = 2) -> None:
+    """Compile the live loop's jitted programs before the first real frame.
+
+    Pushes (num_keyframes-1)*keyframe_interval + 3 synthetic frames of the
+    dataset's exact shapes/dtypes through a THROWAWAY BadSlam sharing this
+    system's config: preprocessing, every motion-model-history variant of
+    tracking, keyframe creation + surfel creation, and the first BA window
+    buckets compile up front instead of spiking inside the live loop. The
+    reference's analog is loading the kernel-autotuning database before the
+    frame loop (main.cc:437-447); on a live camera a mid-run 10-100 s
+    compile drops frames, a startup one does not. Jitted programs are
+    module-level — keyed by shapes + static config — so the compiles carry
+    over to this instance. Capacity-GROWTH recompiles are not covered:
+    size --initial_surfel_capacity / --initial_keyframe_capacity to the
+    expected map instead.
+
+    Transfer-free: the warmup uses exactly the code paths the readback
+    guard in tests/test_pipelined.py enforces, so in pipelined mode it does
+    not knock the tunnel out of pipelined dispatch.
+    """
+    import dataclasses
+    from badslam_tpu.utils import synthetic
+
+    video = self.rgbd_video
+    if (video.depth_camera.width, video.depth_camera.height) != (
+        video.color_camera.width, video.color_camera.height):
+      log.warning("prewarm: depth/color camera sizes differ — skipping")
+      return
+    cfg = dataclasses.replace(
+        self.config, enable_loop_detection=False, parallel_ba=False,
+        start_frame=0, fps_restriction=0, target_frame_rate=0)
+    n = (max(1, num_keyframes) - 1) * max(1, cfg.keyframe_interval) + 3
+    step = 0.004
+    traj = []
+    for i in range(n):
+      T = np.eye(4, dtype=np.float32)
+      T[0, 3] = step * i
+      traj.append(T)
+    warm_video = synthetic.make_heightmap_video(
+        video.depth_camera, traj,
+        raw_to_float_depth=video.raw_to_float_depth)
+    warm = BadSlam(cfg, warm_video, mesh=self.direct_ba.mesh)
+    if warm._pipelined:
+      # track_frame's compile is keyed on the trajectory buffer's shape:
+      # the warm buffer must match the real run's frame count.
+      from badslam_tpu.slam import pipelined
+      warm._pl = pipelined.PipelinedState(video.frame_count())
+    for i in range(n):
+      warm.process_frame(i)
+    warm.stop_ba_thread_and_wait()
+
   # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
 
   def _process_frame_pipelined(self, frame_index: int,

@@ -151,3 +151,43 @@ def test_frontend_parallel_ba_matches_sequential():
         se3.inverse(jnp.asarray(T_est)) @ jnp.asarray(traj_gt[i])))
     errs_t.append(np.linalg.norm(d[:3]))
   assert max(errs_t) < 6e-3, f"translation errors {errs_t}"
+
+
+def test_prewarm_compiles_without_touching_the_map():
+  """slam.prewarm() (--prewarm): runs the full pipeline on a throwaway
+  system of the dataset's shapes, so the live system's map must stay empty
+  and a subsequent real run must behave as without prewarm."""
+  cam = synthetic.default_test_camera(W, H)
+  rng = np.random.default_rng(7)
+  normals = []
+  for _ in range(3):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  n_frames = 6
+  traj_gt = make_trajectory(n_frames)
+  video = synthetic.make_synthetic_video(cam, traj_gt, np.asarray(normals))
+  cfg = BadSlamConfig(
+      keyframe_interval=4, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      enable_loop_detection=False, parallel_ba=False)
+  slam = BadSlam(cfg, video)
+  slam.prewarm()
+  assert slam.direct_ba.keyframe_count == 0
+  assert slam.direct_ba.surfel_count == 0
+  assert slam.last_frame_index == -1
+  assert slam.base_kf_index is None
+  for i in range(n_frames):
+    slam.process_frame(i)
+  assert slam.direct_ba.keyframe_count == 2  # frames 0, 4
+  errs_t = []
+  for i in range(n_frames):
+    T_est = video.frames[i].global_T_frame
+    d = np.asarray(se3.log(
+        se3.inverse(jnp.asarray(T_est)) @ jnp.asarray(traj_gt[i])))
+    errs_t.append(np.linalg.norm(d[:3]))
+  assert max(errs_t) < 5e-3, f"translation errors {errs_t}"

@@ -105,11 +105,12 @@ def test_pipelined_is_transfer_free_and_accurate():
   slam = BadSlam(_config(pipelined_frontend=True), video)
 
   # Warm the jit caches OUTSIDE the guard (compilation may legitimately
-  # inspect host values), on a throwaway system over the same shapes.
-  warm_video = synthetic.make_synthetic_video(cam, traj_gt[:6], normals)
-  warm = BadSlam(_config(pipelined_frontend=True), warm_video)
-  for i in range(6):
-    warm.process_frame(i)
+  # inspect host values) through the production prewarm API — which must
+  # not touch the live system's map.
+  slam.prewarm()
+  assert slam.direct_ba.keyframe_count == 0
+  assert slam.direct_ba.surfel_count == 0
+  assert slam.last_frame_index == -1
 
   with forbid_device_to_host():
     for i in range(N_FRAMES):
