@@ -454,7 +454,7 @@ class LoopDetector:
         return ev(False, "no second keyframe for verification", n_inliers)
 
     # Keypoints padded to a fixed bucket so candidates share one executable.
-    cap = 512
+    cap = device_closure.KEYPOINT_BUCKET
     pts = np.zeros((cap, 3), np.float32)
     n = min(len(cur_pts), cap)
     pts[:n] = cur_pts[:n]

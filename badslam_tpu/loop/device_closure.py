@@ -37,6 +37,10 @@ import jax.numpy as jnp
 from badslam_tpu.geometry import se3
 from badslam_tpu.loop.pose_graph import _optimize_jit
 
+# Keypoint clouds are padded to this bucket so every candidate (and the
+# prewarm pass) shares one executable.
+KEYPOINT_BUCKET = 512
+
 MAX_ANGLE_DIFFERENCE = 3.14159265 / 180.0 * 10.0  # loop_detector.cc:577
 MAX_EUCLIDEAN_DISTANCE = 0.02                     # loop_detector.cc:578
 AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0            # loop_detector.cc:655

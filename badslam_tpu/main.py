@@ -146,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
                       " frame, so jit compiles spike at startup instead of"
                       " mid-run (the autotune-database-preload analog,"
                       " main.cc:437-447)")
+  p.add_argument("--prewarm_keyframes", type=int, default=0,
+                 help="with --prewarm: also pre-compile the BA programs for"
+                      " every active-window bucket / store capacity a map of"
+                      " this many keyframes passes through")
   p.add_argument("--quiet", action="store_true")
   p.add_argument("--log_level", default=None,
                  choices=["debug", "info", "warning", "error", "fatal"],
@@ -237,9 +241,9 @@ def run(args) -> int:
     state_io.load_calibration(args.import_calibration, slam)
   if args.load_state:
     state_io.load_state(args.load_state, slam)
-  if args.prewarm:
+  if args.prewarm or args.prewarm_keyframes > 0:
     t_warm = time.perf_counter()
-    slam.prewarm()
+    slam.prewarm(max_ba_keyframes=(args.prewarm_keyframes or None))
     if not args.quiet:
       log.info(f"Prewarm finished in {time.perf_counter() - t_warm:.1f} s")
 

@@ -344,7 +344,8 @@ class BadSlam:
         # Simulate real-time without actually sleeping.
         self._actual_frame_start_time = self._target_frame_end_time
 
-  def prewarm(self, num_keyframes: int = 2) -> None:
+  def prewarm(self, num_keyframes: int = 2,
+              max_ba_keyframes: Optional[int] = None) -> None:
     """Compile the live loop's jitted programs before the first real frame.
 
     Pushes (num_keyframes-1)*keyframe_interval + 3 synthetic frames of the
@@ -360,9 +361,18 @@ class BadSlam:
     size --initial_surfel_capacity / --initial_keyframe_capacity to the
     expected map instead.
 
+    max_ba_keyframes: additionally pre-compile the BA programs for every
+    active-window bucket and store capacity a map of that many keyframes
+    passes through (the mid-run compile spikes in PERF.md): dummy keyframes
+    are appended one at a time to the throwaway map, running one BA
+    iteration whenever the compiled shape key — (window bucket, keyframe
+    capacity, surfel capacity) — changes, exactly the progression the real
+    run takes.
+
     Transfer-free: the warmup uses exactly the code paths the readback
-    guard in tests/test_pipelined.py enforces, so in pipelined mode it does
-    not knock the tunnel out of pipelined dispatch.
+    guard in tests/test_pipelined.py enforces (BA iterations run in
+    transfer_free mode), so in pipelined mode it does not knock the tunnel
+    out of pipelined dispatch.
     """
     import dataclasses
     from badslam_tpu.utils import synthetic
@@ -388,12 +398,86 @@ class BadSlam:
     warm = BadSlam(cfg, warm_video, mesh=self.direct_ba.mesh)
     if warm._pipelined:
       # track_frame's compile is keyed on the trajectory buffer's shape:
-      # the warm buffer must match the real run's frame count.
+      # the warm buffer must match the real run's frame count — which also
+      # bounds how many warm frames can be recorded.
       from badslam_tpu.slam import pipelined
       warm._pl = pipelined.PipelinedState(video.frame_count())
+      n = min(n, video.frame_count())
     for i in range(n):
       warm.process_frame(i)
     warm.stop_ba_thread_and_wait()
+
+    if max_ba_keyframes is not None:
+      ba_w = warm.direct_ba
+      processed = warm.base_kf_images
+      seen_shapes = set()
+      fi = n
+      while ba_w.keyframe_count < max_ba_keyframes:
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 2e-3 * ba_w.keyframe_count
+        ba_w.add_keyframe(
+            processed.depth, processed.normals, processed.radius_sq,
+            processed.intensity, processed.rgb, jnp.asarray(T), fi)
+        fi += 1
+        count = ba_w.keyframe_count
+        # The active-window shape key bundle_adjustment will compile for
+        # (mirrors its bucketing: power-of-two gather while the bucket is
+        # <= half the store, dense store otherwise).
+        wsize = max(4, 1 << int(np.ceil(np.log2(count))))
+        cap = ba_w.kf.capacity
+        if cfg.use_pcg or not cfg.use_active_kf_window or wsize > cap // 2:
+          wsize = -1  # dense full-store phases (PCG always runs dense)
+        key = (wsize, cap, ba_w.surfels.capacity)
+        if key in seen_shapes:
+          continue
+        seen_shapes.add(key)
+        # do_surfel_updates=False: surfel creation/merge programs are
+        # store-capacity-shaped and already compiled by the frame loop
+        # above; skipping them keeps the warmup free of the growth path's
+        # device-count read (transfer_free discipline).
+        ba_w.bundle_adjustment(
+            optimize_depth_intrinsics=(
+                cfg.optimize_intrinsics and count >= 10
+                and cfg.use_geometric_residuals),
+            optimize_color_intrinsics=(
+                cfg.optimize_intrinsics and count >= 10
+                and cfg.use_photometric_residuals),
+            do_surfel_updates=False,
+            optimize_poses=True, optimize_geometry=True,
+            min_iterations=0, max_iterations=1,
+            active_keyframe_window_start=0,
+            active_keyframe_window_end=count - 1,
+            increase_ba_iteration_count=False,
+            transfer_free=True)
+
+    if (self._pipelined and self.config.enable_loop_detection
+        and warm.direct_ba.keyframe_count >= 2):
+      # The device-closure program (loop/device_closure.py) otherwise
+      # compiles at the first loop candidate — mid-run, deep into the
+      # sequence. One executable per keyframe-store capacity; warm it at
+      # the capacity the map reached above.
+      from badslam_tpu.loop import device_closure
+      ba_w = warm.direct_ba
+      w_, h_ = ba_w.depth_size
+      e_cap = max(1, ba_w.kf.capacity - 1)
+      kb = device_closure.KEYPOINT_BUCKET
+      res = device_closure.verify_and_close(
+          ba_w.kf, ba_w.depth_intr, ba_w.a, ba_w.cfactor, ba_w.baseline_fx,
+          jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+          jnp.asarray(1, jnp.int32), jnp.asarray(1, jnp.int32),
+          jnp.eye(4, dtype=jnp.float32),
+          jnp.zeros((kb, 3), jnp.float32), jnp.zeros((kb,), bool),
+          jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32),
+          jnp.zeros((e_cap,), jnp.int32), jnp.zeros((e_cap,), jnp.int32),
+          jnp.zeros((e_cap,), jnp.float32),
+          width=w_, height=h_, cell_size=ba_w.cell_size,
+          num_scales=cfg.num_scales,
+          use_depth_residuals=cfg.use_geometric_residuals,
+          use_descriptor_residuals=cfg.use_photometric_residuals,
+          convergence_threshold=cfg.odometry_convergence_threshold,
+          residual_type=("gradmag" if cfg.use_gradmag_for_tracking
+                         else "gradient_xy"))
+      jax.block_until_ready(res.global_T_frame)
 
   # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
 

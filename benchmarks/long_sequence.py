@@ -171,6 +171,9 @@ def main():
   p.add_argument("--keyframe_interval", type=int, default=10)
   p.add_argument("--sequential", action="store_true",
                  help="sequential BA + detection (deterministic baseline)")
+  p.add_argument("--prewarm", action="store_true",
+                 help="compile all program shapes before the timed loop"
+                      " (slam.prewarm; kills mid-run compile spikes)")
   p.add_argument("--pipelined", action="store_true",
                  help="transfer-free pipelined front-end (zero device->host "
                       "transfers inside the frame loop; implies sequential "
@@ -261,6 +264,14 @@ def main():
   slam = slam_cls(cfg, video)
   report = {"frames": n, "parallel": not args.sequential,
             "noise": args.noise}
+  if args.prewarm:
+    # Production startup mode: compile every program shape of the expected
+    # map size before the frame loop — the measured run then has no
+    # mid-run compile spikes (reported separately as prewarm_s).
+    t_warm = time.perf_counter()
+    slam.prewarm(max_ba_keyframes=n // max(1, args.keyframe_interval) + 1)
+    report["prewarm_s"] = round(time.perf_counter() - t_warm, 1)
+    print(f"prewarm: {report['prewarm_s']} s", flush=True)
   report["trajectory"] = {"radius_m": args.radius, "loops": args.loops}
   if args.drift > 0:
     report["drift_m_per_frame"] = args.drift

@@ -176,7 +176,9 @@ def test_prewarm_compiles_without_touching_the_map():
       initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
       enable_loop_detection=False, parallel_ba=False)
   slam = BadSlam(cfg, video)
-  slam.prewarm()
+  # max_ba_keyframes exercises the bucketed-BA shape progression (gathered
+  # window at 4, then the dense full-store phases past capacity // 2).
+  slam.prewarm(max_ba_keyframes=6)
   assert slam.direct_ba.keyframe_count == 0
   assert slam.direct_ba.surfel_count == 0
   assert slam.last_frame_index == -1

@@ -301,3 +301,17 @@ def test_transfer_guard_actually_fires():
   with pytest.raises(AssertionError):
     with forbid_device_to_host():
       int(jnp.sum(x))
+
+
+def test_prewarm_covers_the_device_closure_program():
+  """prewarm() in pipelined mode with loop detection enabled must also
+  compile the device-closure program (otherwise it spikes at the first
+  mid-run loop candidate) — and still leave the live map empty."""
+  cam = synthetic.default_test_camera(W, H)
+  traj_gt = _trajectory(6)
+  video = synthetic.make_synthetic_video(cam, traj_gt, _world())
+  slam = BadSlam(_config(pipelined_frontend=True,
+                         enable_loop_detection=True), video)
+  slam.prewarm(max_ba_keyframes=5)
+  assert slam.direct_ba.keyframe_count == 0
+  assert slam.last_frame_index == -1
