@@ -518,6 +518,24 @@ class DirectBA:
       return self.config.min_observation_count_while_bootstrapping_2
     return self.config.min_observation_count
 
+  def ba_window_shape_key(self, participating_count: int,
+                          optimize_poses: bool = True,
+                          optimize_geometry: bool = True):
+    """The compiled-shape key a bundle_adjustment call's phases run at when
+    `participating_count` keyframes participate: (window bucket or -1 for
+    the dense full store, keyframe capacity, surfel capacity). This is the
+    single source of truth for the active-window bucketing — the scheme
+    loop builds its gather from it and BadSlam.prewarm replays the shape
+    progression through it."""
+    use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
+    wsize = -1
+    if (self.mesh is None and not use_pcg
+        and self.config.use_active_kf_window and participating_count > 0):
+      w = max(4, 1 << int(np.ceil(np.log2(participating_count))))
+      if w <= self.kf.capacity // 2:
+        wsize = w
+    return (wsize, self.kf.capacity, self.surfels.capacity)
+
   # --- keyframe management ---
 
   def add_keyframe(self, depth, normals, radius_sq, intensity, rgb,
@@ -661,15 +679,13 @@ class DirectBA:
       # mode keep the full store (sharded layouts are per-capacity).
       use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
       window_idx = None
-      if (self.mesh is None and not use_pcg
-          and self.config.use_active_kf_window):
-        part = np.flatnonzero(act_valid >= COVISIBLE_ACTIVE)
-        if len(part):
-          wsize = max(4, 1 << int(np.ceil(np.log2(len(part)))))
-          if wsize <= self.kf.capacity // 2:
-            padded = np.full(wsize, self.kf.capacity, np.int32)
-            padded[:len(part)] = part
-            window_idx = jnp.asarray(padded)
+      part = np.flatnonzero(act_valid >= COVISIBLE_ACTIVE)
+      wsize = self.ba_window_shape_key(
+          len(part), optimize_poses, optimize_geometry)[0]
+      if wsize > 0:
+        padded = np.full(wsize, self.kf.capacity, np.int32)
+        padded[:len(part)] = part
+        window_idx = jnp.asarray(padded)
 
       # --- SURFEL CREATION for newly-active keyframes ---
       old_valid = self.surfels.valid

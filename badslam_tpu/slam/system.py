@@ -357,17 +357,18 @@ class BadSlam:
     frame loop (main.cc:437-447); on a live camera a mid-run 10-100 s
     compile drops frames, a startup one does not. Jitted programs are
     module-level — keyed by shapes + static config — so the compiles carry
-    over to this instance. Capacity-GROWTH recompiles are not covered:
-    size --initial_surfel_capacity / --initial_keyframe_capacity to the
-    expected map instead.
+    over to this instance.
 
-    max_ba_keyframes: additionally pre-compile the BA programs for every
+    max_ba_keyframes: additionally pre-compile the programs for every
     active-window bucket and store capacity a map of that many keyframes
     passes through (the mid-run compile spikes in PERF.md): dummy keyframes
-    are appended one at a time to the throwaway map, running one BA
-    iteration whenever the compiled shape key — (window bucket, keyframe
-    capacity, surfel capacity) — changes, exactly the progression the real
-    run takes.
+    are appended one at a time to the throwaway map, replaying the shape
+    progression through DirectBA.ba_window_shape_key — one BA iteration per
+    new (window bucket, keyframe capacity, surfel capacity) key, plus the
+    keyframe-pose / surfel-creation / merge / device-closure programs at
+    each keyframe-capacity growth. SURFEL-capacity growth is still not
+    simulated (the warm map has far fewer surfels than the real scene):
+    size --initial_surfel_capacity for the expected map instead.
 
     Transfer-free: the warmup uses exactly the code paths the readback
     guard in tests/test_pipelined.py enforces (BA iterations run in
@@ -380,6 +381,9 @@ class BadSlam:
     video = self.rgbd_video
     if (video.depth_camera.width, video.depth_camera.height) != (
         video.color_camera.width, video.color_camera.height):
+      # Unreachable through load_tum_dataset (one calibration for both
+      # streams); live inputs with mismatched resolutions are out of scope
+      # (PARITY.md), so the warm-data generator only renders one size.
       log.warning("prewarm: depth/color camera sizes differ — skipping")
       return
     cfg = dataclasses.replace(
@@ -407,10 +411,18 @@ class BadSlam:
       warm.process_frame(i)
     warm.stop_ba_thread_and_wait()
 
+    # Device-closure program at the initial capacity (it otherwise compiles
+    # at the first loop candidate — mid-run, deep into the sequence).
+    self._prewarm_closure_program(warm)
+
     if max_ba_keyframes is not None:
       ba_w = warm.direct_ba
       processed = warm.base_kf_images
-      seen_shapes = set()
+      seen_shapes = {ba_w.ba_window_shape_key(ba_w.keyframe_count)}
+      # Capacities whose capacity-keyed programs (keyframe_pose, surfel
+      # creation, merge, device closure) are already compiled — the frame
+      # loop above covered the initial one.
+      warmed_caps = {ba_w.kf.capacity}
       fi = n
       while ba_w.keyframe_count < max_ba_keyframes:
         T = np.eye(4, dtype=np.float32)
@@ -420,21 +432,25 @@ class BadSlam:
             processed.intensity, processed.rgb, jnp.asarray(T), fi)
         fi += 1
         count = ba_w.keyframe_count
-        # The active-window shape key bundle_adjustment will compile for
-        # (mirrors its bucketing: power-of-two gather while the bucket is
-        # <= half the store, dense store otherwise).
-        wsize = max(4, 1 << int(np.ceil(np.log2(count))))
-        cap = ba_w.kf.capacity
-        if cfg.use_pcg or not cfg.use_active_kf_window or wsize > cap // 2:
-          wsize = -1  # dense full-store phases (PCG always runs dense)
-        key = (wsize, cap, ba_w.surfels.capacity)
-        if key in seen_shapes:
+        cap_grew = ba_w.kf.capacity not in warmed_caps
+        if cap_grew:
+          warmed_caps.add(ba_w.kf.capacity)
+          if warm._pipelined:
+            from badslam_tpu.slam import pipelined
+            # keyframe_pose is keyed on the pose stack's capacity.
+            pipelined.keyframe_pose(ba_w.kf.global_T_frame,
+                                    jnp.asarray(0, jnp.int32),
+                                    warm._pl.hist)
+          self._prewarm_closure_program(warm)
+        key = ba_w.ba_window_shape_key(count)
+        if key in seen_shapes and not cap_grew:
           continue
         seen_shapes.add(key)
-        # do_surfel_updates=False: surfel creation/merge programs are
-        # store-capacity-shaped and already compiled by the frame loop
-        # above; skipping them keeps the warmup free of the growth path's
-        # device-count read (transfer_free discipline).
+        # Surfel creation + merge are keyframe-capacity-keyed (observation
+        # filtering runs over the covisible keyframe stacks): run them
+        # through the real BA path once per grown capacity. The pipelined
+        # growth path is transfer-free by design (_ensure_surfel_capacity),
+        # so this keeps the tunnel in pipelined dispatch.
         ba_w.bundle_adjustment(
             optimize_depth_intrinsics=(
                 cfg.optimize_intrinsics and count >= 10
@@ -442,7 +458,7 @@ class BadSlam:
             optimize_color_intrinsics=(
                 cfg.optimize_intrinsics and count >= 10
                 and cfg.use_photometric_residuals),
-            do_surfel_updates=False,
+            do_surfel_updates=(cfg.do_surfel_updates and cap_grew),
             optimize_poses=True, optimize_geometry=True,
             min_iterations=0, max_iterations=1,
             active_keyframe_window_start=0,
@@ -450,34 +466,36 @@ class BadSlam:
             increase_ba_iteration_count=False,
             transfer_free=True)
 
-    if (self._pipelined and self.config.enable_loop_detection
-        and warm.direct_ba.keyframe_count >= 2):
-      # The device-closure program (loop/device_closure.py) otherwise
-      # compiles at the first loop candidate — mid-run, deep into the
-      # sequence. One executable per keyframe-store capacity; warm it at
-      # the capacity the map reached above.
-      from badslam_tpu.loop import device_closure
-      ba_w = warm.direct_ba
-      w_, h_ = ba_w.depth_size
-      e_cap = max(1, ba_w.kf.capacity - 1)
-      kb = device_closure.KEYPOINT_BUCKET
-      res = device_closure.verify_and_close(
-          ba_w.kf, ba_w.depth_intr, ba_w.a, ba_w.cfactor, ba_w.baseline_fx,
-          jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
-          jnp.asarray(1, jnp.int32), jnp.asarray(1, jnp.int32),
-          jnp.eye(4, dtype=jnp.float32),
-          jnp.zeros((kb, 3), jnp.float32), jnp.zeros((kb,), bool),
-          jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32),
-          jnp.zeros((e_cap,), jnp.int32), jnp.zeros((e_cap,), jnp.int32),
-          jnp.zeros((e_cap,), jnp.float32),
-          width=w_, height=h_, cell_size=ba_w.cell_size,
-          num_scales=cfg.num_scales,
-          use_depth_residuals=cfg.use_geometric_residuals,
-          use_descriptor_residuals=cfg.use_photometric_residuals,
-          convergence_threshold=cfg.odometry_convergence_threshold,
-          residual_type=("gradmag" if cfg.use_gradmag_for_tracking
-                         else "gradient_xy"))
-      jax.block_until_ready(res.global_T_frame)
+  def _prewarm_closure_program(self, warm: "BadSlam") -> None:
+    """Compile loop/device_closure.verify_and_close for warm's current
+    keyframe-store capacity (its executable is keyed on the store capacity
+    and the padded odometry-edge list, capacity - 1)."""
+    if not (self._pipelined and self.config.enable_loop_detection
+            and warm.direct_ba.keyframe_count >= 2):
+      return
+    from badslam_tpu.loop import device_closure
+    cfg = self.config
+    ba_w = warm.direct_ba
+    w_, h_ = ba_w.depth_size
+    e_cap = max(1, ba_w.kf.capacity - 1)
+    kb = device_closure.KEYPOINT_BUCKET
+    res = device_closure.verify_and_close(
+        ba_w.kf, ba_w.depth_intr, ba_w.a, ba_w.cfactor, ba_w.baseline_fx,
+        jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(1, jnp.int32), jnp.asarray(1, jnp.int32),
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.zeros((kb, 3), jnp.float32), jnp.zeros((kb,), bool),
+        jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32),
+        jnp.zeros((e_cap,), jnp.int32), jnp.zeros((e_cap,), jnp.int32),
+        jnp.zeros((e_cap,), jnp.float32),
+        width=w_, height=h_, cell_size=ba_w.cell_size,
+        num_scales=cfg.num_scales,
+        use_depth_residuals=cfg.use_geometric_residuals,
+        use_descriptor_residuals=cfg.use_photometric_residuals,
+        convergence_threshold=cfg.odometry_convergence_threshold,
+        residual_type=("gradmag" if cfg.use_gradmag_for_tracking
+                       else "gradient_xy"))
+    jax.block_until_ready(res.global_T_frame)
 
   # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
 

@@ -315,3 +315,49 @@ def test_prewarm_covers_the_device_closure_program():
   slam.prewarm(max_ba_keyframes=5)
   assert slam.direct_ba.keyframe_count == 0
   assert slam.last_frame_index == -1
+
+
+def test_prewarm_eliminates_live_loop_compiles():
+  """The property prewarm exists for: after prewarm over the run's keyframe
+  progression — INCLUDING a keyframe-capacity growth (4 -> 8) — the live
+  loop triggers zero XLA compilations."""
+  import logging
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  n_frames = 20
+  traj_gt = _trajectory(n_frames)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  # Keyframe capacity grows mid-run (4 -> 8); the surfel store is pre-sized
+  # AND capped, as pipelined production runs do (the transfer-free watermark
+  # bound over-grows otherwise — prewarm documents that surfel-capacity
+  # growth is not simulated).
+  cfg = _config(pipelined_frontend=True, keyframe_interval=3,
+                initial_keyframe_capacity=4,
+                initial_surfel_capacity=1 << 15,
+                max_surfel_count=1 << 15)
+  slam = BadSlam(cfg, video)
+
+  records = []
+  handler = logging.Handler()
+  handler.emit = lambda r: records.append(r.getMessage())
+  jlog = logging.getLogger("jax._src.interpreters.pxla")
+  old_level = jlog.level
+  jax.config.update("jax_log_compiles", True)
+  jlog.addHandler(handler)
+  jlog.setLevel(logging.DEBUG)
+  try:
+    slam.prewarm(max_ba_keyframes=7)  # keyframes at 0,3,...,18
+    prewarm_compiles = [m for m in records if m.startswith("Compiling ")]
+    records.clear()
+    for i in range(n_frames):
+      slam.process_frame(i)
+    live_compiles = [m for m in records if m.startswith("Compiling ")]
+  finally:
+    jax.config.update("jax_log_compiles", False)
+    jlog.removeHandler(handler)
+    jlog.setLevel(old_level)
+  if not prewarm_compiles:
+    pytest.skip("compile logging not captured on this jax version")
+  assert not live_compiles, f"live-loop compiles: {live_compiles}"
+  slam.finalize_pipelined()
+  assert slam.direct_ba.keyframe_count == 7
