@@ -536,6 +536,21 @@ class DirectBA:
         wsize = w
     return (wsize, self.kf.capacity, self.surfels.capacity)
 
+  def clone_for_prewarm(self) -> "DirectBA":
+    """Cheap snapshot for concurrent compile warm-up (BadSlam.prewarm).
+
+    Device state (kf / surfels namedtuples, intrinsics, cfactor) is
+    immutable and shared; the host-side mutable mirrors are copied so a
+    bundle_adjustment run on the clone cannot race the original. Clones are
+    throwaway compile targets only — they never feed results back.
+    """
+    import copy
+    c = copy.copy(self)
+    c.last_active_in_ba_iteration = self.last_active_in_ba_iteration.copy()
+    c._kf_valid_host = self._kf_valid_host.copy()
+    c.timings_stream = None
+    return c
+
   # --- keyframe management ---
 
   def add_keyframe(self, depth, normals, radius_sq, intensity, rgb,

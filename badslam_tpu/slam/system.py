@@ -345,7 +345,8 @@ class BadSlam:
         self._actual_frame_start_time = self._target_frame_end_time
 
   def prewarm(self, num_keyframes: int = 2,
-              max_ba_keyframes: Optional[int] = None) -> None:
+              max_ba_keyframes: Optional[int] = None,
+              compile_workers: Optional[int] = None) -> None:
     """Compile the live loop's jitted programs before the first real frame.
 
     Pushes (num_keyframes-1)*keyframe_interval + 3 synthetic frames of the
@@ -369,6 +370,12 @@ class BadSlam:
     each keyframe-capacity growth. SURFEL-capacity growth is still not
     simulated (the warm map has far fewer surfels than the real scene):
     size --initial_surfel_capacity for the expected map instead.
+
+    compile_workers: the shape-key targets are independent programs, so
+    their first-call compiles run on a thread pool (default min(4, targets))
+    — the XLA compile service handles concurrent requests, turning the
+    serial sum of per-bucket compile times into roughly the max. Pass 1 to
+    force the serial order.
 
     Transfer-free: the warmup uses exactly the code paths the readback
     guard in tests/test_pipelined.py enforces (BA iterations run in
@@ -411,9 +418,22 @@ class BadSlam:
       warm.process_frame(i)
     warm.stop_ba_thread_and_wait()
 
+    # Remaining compile targets are INDEPENDENT programs (one per
+    # (window bucket, keyframe capacity) shape key + the capacity-keyed
+    # closure/keyframe-pose programs), so they compile concurrently: the
+    # map growth below snapshots the throwaway DirectBA at each shape-key
+    # change (clone_for_prewarm — device arrays shared, host mirrors
+    # copied) and a thread pool drives the first-call compiles in
+    # parallel. The remote XLA compile service serves the requests
+    # concurrently; serially this was the dominant share of a ~6-minute
+    # 640x480 prewarm.
+    tasks: List = []
+    warm_pl_hist = warm._pl.hist if warm._pipelined else None
+
     # Device-closure program at the initial capacity (it otherwise compiles
     # at the first loop candidate — mid-run, deep into the sequence).
-    self._prewarm_closure_program(warm)
+    ba0 = warm.direct_ba.clone_for_prewarm()
+    tasks.append(lambda c=ba0: self._prewarm_closure_program(c))
 
     if max_ba_keyframes is not None:
       ba_w = warm.direct_ba
@@ -435,13 +455,6 @@ class BadSlam:
         cap_grew = ba_w.kf.capacity not in warmed_caps
         if cap_grew:
           warmed_caps.add(ba_w.kf.capacity)
-          if warm._pipelined:
-            from badslam_tpu.slam import pipelined
-            # keyframe_pose is keyed on the pose stack's capacity.
-            pipelined.keyframe_pose(ba_w.kf.global_T_frame,
-                                    jnp.asarray(0, jnp.int32),
-                                    warm._pl.hist)
-          self._prewarm_closure_program(warm)
         key = ba_w.ba_window_shape_key(count)
         if key in seen_shapes and not cap_grew:
           continue
@@ -451,31 +464,55 @@ class BadSlam:
         # through the real BA path once per grown capacity. The pipelined
         # growth path is transfer-free by design (_ensure_surfel_capacity),
         # so this keeps the tunnel in pipelined dispatch.
-        ba_w.bundle_adjustment(
-            optimize_depth_intrinsics=(
-                cfg.optimize_intrinsics and count >= 10
-                and cfg.use_geometric_residuals),
-            optimize_color_intrinsics=(
-                cfg.optimize_intrinsics and count >= 10
-                and cfg.use_photometric_residuals),
-            do_surfel_updates=(cfg.do_surfel_updates and cap_grew),
-            optimize_poses=True, optimize_geometry=True,
-            min_iterations=0, max_iterations=1,
-            active_keyframe_window_start=0,
-            active_keyframe_window_end=count - 1,
-            increase_ba_iteration_count=False,
-            transfer_free=True)
+        clone = ba_w.clone_for_prewarm()
 
-  def _prewarm_closure_program(self, warm: "BadSlam") -> None:
+        def _warm_target(c=clone, count=count, cap_grew=cap_grew):
+          if cap_grew:
+            if warm_pl_hist is not None:
+              from badslam_tpu.slam import pipelined
+              # keyframe_pose is keyed on the pose stack's capacity.
+              pipelined.keyframe_pose(c.kf.global_T_frame,
+                                      jnp.asarray(0, jnp.int32),
+                                      warm_pl_hist)
+            self._prewarm_closure_program(c)
+          c.bundle_adjustment(
+              optimize_depth_intrinsics=(
+                  cfg.optimize_intrinsics and count >= 10
+                  and cfg.use_geometric_residuals),
+              optimize_color_intrinsics=(
+                  cfg.optimize_intrinsics and count >= 10
+                  and cfg.use_photometric_residuals),
+              do_surfel_updates=(cfg.do_surfel_updates and cap_grew),
+              optimize_poses=True, optimize_geometry=True,
+              min_iterations=0, max_iterations=1,
+              active_keyframe_window_start=0,
+              active_keyframe_window_end=count - 1,
+              increase_ba_iteration_count=False,
+              transfer_free=True)
+
+        tasks.append(_warm_target)
+
+    if compile_workers is None:
+      compile_workers = min(4, len(tasks))
+    if compile_workers > 1 and len(tasks) > 1:
+      from concurrent.futures import ThreadPoolExecutor
+      with ThreadPoolExecutor(max_workers=compile_workers) as pool:
+        # list() propagates the first worker exception, as the serial
+        # path would.
+        list(pool.map(lambda t: t(), tasks))
+    else:
+      for t in tasks:
+        t()
+
+  def _prewarm_closure_program(self, ba_w) -> None:
     """Compile loop/device_closure.verify_and_close for warm's current
     keyframe-store capacity (its executable is keyed on the store capacity
     and the padded odometry-edge list, capacity - 1)."""
     if not (self._pipelined and self.config.enable_loop_detection
-            and warm.direct_ba.keyframe_count >= 2):
+            and ba_w.keyframe_count >= 2):
       return
     from badslam_tpu.loop import device_closure
     cfg = self.config
-    ba_w = warm.direct_ba
     w_, h_ = ba_w.depth_size
     e_cap = max(1, ba_w.kf.capacity - 1)
     kb = device_closure.KEYPOINT_BUCKET
