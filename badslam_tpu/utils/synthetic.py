@@ -375,3 +375,44 @@ def preprocess_like_test_keyframe(
   return SyntheticKeyframe(
       depth=d_out, normals=nxy, radius_sq=radius_sq,
       intensity=intensity_arr, rgb=rgb)
+
+
+def surfel_map_error(positions: np.ndarray,
+                     z_distance: float = 1.0,
+                     z_variation: float = 0.05,
+                     seed: int = 5) -> dict:
+  """Map-quality metric against the analytic heightmap world.
+
+  The synthetic worlds (render_heightmap / tum_synth.write_tum_dataset) are
+  the graph of z(x, y) = heightmap_z(x, y), so every reconstructed surfel
+  has a closed-form ground-truth surface point directly below/above it:
+  error_i = pos_z_i - z(pos_x_i, pos_y_i). The heightmap's slopes are small
+  (z_variation 0.05 over noise cells >= 0.11 m), so the vertical distance
+  overestimates the true point-to-surface distance by only a few percent —
+  adequate as a regression gate.
+
+  The reference's evaluation protocol is trajectory-only (ETH3D SLAM / TUM
+  ATE-RMSE, README.md:161-178); this adds the direct check that the MAP
+  converges onto the observed surface, not just the poses — drift repaired
+  by a pose-graph closure but never re-optimized into the surfels, or a
+  geometry-optimization regression, shows up here first.
+
+  positions: (N, 3) world-frame surfel positions (valid surfels only).
+  Returns summary stats in meters.
+  """
+  positions = np.asarray(positions, np.float64)
+  if positions.size == 0:
+    return {"count": 0}
+  gt_z = heightmap_z(positions[:, 0], positions[:, 1],
+                     z_distance, z_variation, seed)
+  err = positions[:, 2] - gt_z
+  abs_err = np.abs(err)
+  return {
+      "count": int(positions.shape[0]),
+      "rmse_m": float(np.sqrt(np.mean(err ** 2))),
+      "mean_abs_m": float(np.mean(abs_err)),
+      "median_abs_m": float(np.median(abs_err)),
+      "p95_abs_m": float(np.quantile(abs_err, 0.95)),
+      "max_abs_m": float(np.max(abs_err)),
+      "bias_m": float(np.mean(err)),
+  }
