@@ -94,6 +94,29 @@ def apply_sensor_noise(depth: np.ndarray, intensity: np.ndarray,
   return z.astype(np.float32), i.astype(np.float32)
 
 
+def _render_and_write_frame(args) -> None:
+  """Pool worker: render one frame of the heightmap world and write its
+  rgb/depth PNG pair. Module-level (picklable) and numpy/PIL-only so fork
+  workers never touch jax."""
+  (i, T, out_dir, fx, fy, cx, cy, width, height, depth_scaling, seed,
+   z_distance, z_variation, sensor_noise) = args
+  from PIL import Image as PILImage
+  cam = PinholeCamera(width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy)
+  depth, inten = synthetic.render_heightmap(
+      cam, T, z_distance=z_distance, z_variation=z_variation, seed=seed,
+      raw_to_float_depth=1.0 / depth_scaling)
+  if sensor_noise:
+    rng = np.random.default_rng(1000003 * seed + i)
+    depth, inten = apply_sensor_noise(np.asarray(depth), np.asarray(inten),
+                                      rng)
+  u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
+  rgb = np.stack([u8, u8, u8], axis=-1)
+  raw_u16 = np.floor(depth * depth_scaling + 0.5).astype(np.uint16)
+  PILImage.fromarray(rgb).save(os.path.join(out_dir, f"rgb/{i:06d}.png"))
+  PILImage.fromarray(raw_u16).save(
+      os.path.join(out_dir, f"depth/{i:06d}.png"))
+
+
 def write_tum_dataset(
     out_dir: str,
     trajectory: List[np.ndarray],
@@ -110,8 +133,6 @@ def write_tum_dataset(
 ) -> str:
   """Render + write the dataset; returns out_dir. Skips rendering when the
   directory already holds a complete dataset for the same parameters."""
-  from PIL import Image as PILImage
-
   cam = camera or synthetic.default_test_camera(width, height)
   # The stamp must identify the trajectory CONTENT, not just its length —
   # two trajectories of equal length (e.g. loops=1 vs loops=2) must not
@@ -139,31 +160,37 @@ def write_tum_dataset(
 
   assoc_lines = []
   gt_lines = []
+  # Rendering is the dominant cost (~1.2 s/frame at 640x480: 16 raycast
+  # fixed-point iterations + 5 value-noise octaves, all numpy) and frames
+  # are independent — fan it out over a process pool. fork keeps it
+  # import-cheap; the workers touch only numpy/PIL, never jax.
+  n_workers = min(len(trajectory), os.cpu_count() or 1)
+  render_args = [
+      (i, T, out_dir, float(cam.fx), float(cam.fy), float(cam.cx),
+       float(cam.cy), width, height, depth_scaling, seed, z_distance,
+       z_variation, sensor_noise)
+      for i, T in enumerate(trajectory)]
+  if n_workers > 1 and len(trajectory) > 8:
+    import multiprocessing
+    ctx = multiprocessing.get_context("fork")
+    with ctx.Pool(n_workers) as pool:
+      for k, _ in enumerate(pool.imap_unordered(
+          _render_and_write_frame, render_args, chunksize=8)):
+        if not quiet and (k + 1) % 50 == 0:
+          print(f"  rendered {k + 1}/{len(trajectory)} frames", flush=True)
+  else:
+    for k, a in enumerate(render_args):
+      _render_and_write_frame(a)
+      if not quiet and (k + 1) % 50 == 0:
+        print(f"  rendered {k + 1}/{len(trajectory)} frames", flush=True)
+
   for i, T in enumerate(trajectory):
     ts = i / fps
-    depth, inten = synthetic.render_heightmap(
-        cam, T, z_distance=z_distance, z_variation=z_variation, seed=seed,
-        raw_to_float_depth=1.0 / depth_scaling)
-    if sensor_noise:
-      rng = np.random.default_rng(1000003 * seed + i)
-      depth, inten = apply_sensor_noise(np.asarray(depth), np.asarray(inten),
-                                        rng)
-    u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
-    rgb = np.stack([u8, u8, u8], axis=-1)
-    raw_u16 = np.floor(depth * depth_scaling + 0.5).astype(np.uint16)
-
-    rgb_rel = f"rgb/{i:06d}.png"
-    depth_rel = f"depth/{i:06d}.png"
-    PILImage.fromarray(rgb).save(os.path.join(out_dir, rgb_rel))
-    PILImage.fromarray(raw_u16).save(os.path.join(out_dir, depth_rel))
-    assoc_lines.append(f"{ts:.6f} {rgb_rel} {ts:.6f} {depth_rel}")
-
+    assoc_lines.append(f"{ts:.6f} rgb/{i:06d}.png {ts:.6f} depth/{i:06d}.png")
     q = se3_np.matrix_to_quaternion(T[:3, :3])  # (x, y, z, w)
     t = T[:3, 3]
     gt_lines.append(f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
                     f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}")
-    if not quiet and (i + 1) % 50 == 0:
-      print(f"  rendered {i + 1}/{len(trajectory)} frames")
 
   with open(os.path.join(out_dir, "associated.txt"), "w") as f:
     f.write("\n".join(assoc_lines) + "\n")
