@@ -97,6 +97,20 @@ class RGBDVideo:
   def frame_count(self) -> int:
     return len(self.frames)
 
+  def fps(self, default: float = 30.0) -> float:
+    """Frame rate derived from the depth timestamps (median inter-frame
+    delta). The reference derives the loop-detection fallback frequency from
+    the actual dataset fps (bad_slam_config.h:367-370) — a hardcoded 30
+    would mis-throttle detection on 15/60 FPS datasets."""
+    if len(self.frames) < 2:
+      return default
+    ts = np.asarray([f.depth_timestamp for f in self.frames], np.float64)
+    dt = np.diff(ts)
+    dt = dt[dt > 0]
+    if dt.size == 0:
+      return default
+    return float(1.0 / np.median(dt))
+
   def depth_metric(self, index: int) -> np.ndarray:
     """(H, W) float32 metric depth, 0 = invalid."""
     return self.frames[index].depth_raw().astype(np.float32) * self.raw_to_float_depth

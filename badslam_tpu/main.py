@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
   p.add_argument("--no_pallas_preprocess", action="store_true",
                  help="force the XLA stencil chain instead of the fused"
                       " Pallas preprocess kernel (ops/pallas_preprocess.py)")
+  p.add_argument("--mesh_devices", type=int, default=0,
+                 help="run the back-end distributed over an N-device mesh"
+                      " (surfel store sharded along the mesh's 'surfels'"
+                      " axis; every BA phase compiles as an SPMD program)."
+                      " Uses the first N visible devices; on a CPU backend"
+                      " with fewer devices, N virtual host devices are"
+                      " forced when the backend is not yet initialized")
 
   # Memory (main.cc:247-257).
   p.add_argument("--max_surfel_count", type=int, default=25_000_000)
@@ -205,6 +212,33 @@ def config_from_args(args) -> BadSlamConfig:
   )
 
 
+def build_mesh(n_devices: int):
+  """Device mesh for --mesh_devices: the first N visible devices. For a
+  virtual mesh without hardware, the CPU backend's device count is forced to
+  N — but only if the JAX backend has not been touched yet, so this runs
+  BEFORE any other jax use. With multiple real chips, the mesh rides ICI as
+  usual (parallel/sharded_ba.py layouts)."""
+  if n_devices <= 1:
+    return None
+  import os as _os
+  flags = _os.environ.get("XLA_FLAGS", "")
+  if "xla_force_host_platform_device_count" not in flags:
+    _os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+  import jax
+  from jax.sharding import Mesh
+  from badslam_tpu.parallel import sharded_ba
+  devices = jax.devices()
+  if len(devices) < n_devices:
+    raise SystemExit(
+        f"--mesh_devices {n_devices}: only {len(devices)} device(s) visible "
+        f"on backend '{jax.default_backend()}'. For a virtual mesh run with "
+        f"JAX_PLATFORMS=cpu "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
+  return Mesh(np.asarray(devices[:n_devices]), (sharded_ba.SURFEL_AXIS,))
+
+
 def run(args) -> int:
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.io import state as state_io
@@ -227,7 +261,11 @@ def run(args) -> int:
     if not args.quiet:
       log.info("Using native prefetching data loader")
 
-  slam = BadSlam(config, video)
+  mesh = build_mesh(args.mesh_devices)
+  if mesh is not None and not args.quiet:
+    log.info(f"Distributed back-end over {args.mesh_devices} devices "
+             f"({mesh.devices.flat[0].platform})")
+  slam = BadSlam(config, video, mesh=mesh)
   if args.profile_dir:
     import jax
     jax.profiler.start_trace(args.profile_dir)

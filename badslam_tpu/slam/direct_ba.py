@@ -374,6 +374,11 @@ class DirectBA:
     self.baseline_fx = jnp.asarray(config.baseline_fx, jnp.float32)
     self.cell_size = cell
 
+    # NOTE on in-place-mutated HOST state: clone_for_prewarm() hands copies
+    # of this object to concurrent compile-warmup tasks; every np.ndarray /
+    # list / dict attribute that bundle_adjustment mutates in place MUST be
+    # deep-copied there (device pytrees are immutable and safe to share).
+    # When adding a new mutable host mirror here, extend clone_for_prewarm.
     self._kf_count_host = 0
     # Host mirror of kf.valid: every mutation (add/delete/grow) is
     # host-initiated, so the mirror is exact. Lets the transfer-free BA mode

@@ -368,8 +368,11 @@ class BadSlam:
     new (window bucket, keyframe capacity, surfel capacity) key, plus the
     keyframe-pose / surfel-creation / merge / device-closure programs at
     each keyframe-capacity growth. SURFEL-capacity growth is still not
-    simulated (the warm map has far fewer surfels than the real scene):
-    size --initial_surfel_capacity for the expected map instead.
+    simulated: BA warm-up iterations run only on DISCARDED clones of the
+    throwaway map (clone_for_prewarm), so the warm surfel store never grows
+    past initial_surfel_capacity and all warmed programs compile at that
+    capacity — size --initial_surfel_capacity for the expected map instead,
+    or an under-sized store still compiles mid-run.
 
     compile_workers: the shape-key targets are independent programs, so
     their first-call compiles run on a thread pool (default min(4, targets))
@@ -868,9 +871,13 @@ class BadSlam:
   def _loop_detection_due(self, frame_index: int) -> bool:
     """Throttle loop detection to loop_detection_image_frequency
     (bad_slam_config.h:367-370: defaults to the keyframe rate, i.e. every
-    keyframe; lower values subsample)."""
-    freq = self.config.get_loop_detection_image_frequency()
-    kf_freq = 30.0 / max(1, self.config.keyframe_interval)
+    keyframe; lower values subsample). The keyframe rate derives from the
+    DATASET's frame rate (not a hardcoded 30) as the reference does."""
+    dataset_fps = getattr(self, "_dataset_fps", None)
+    if dataset_fps is None:
+      dataset_fps = self._dataset_fps = self.rgbd_video.fps()
+    freq = self.config.get_loop_detection_image_frequency(dataset_fps)
+    kf_freq = dataset_fps / max(1, self.config.keyframe_interval)
     if freq >= kf_freq:
       return True
     interval = max(1, int(round(kf_freq / max(freq, 1e-6))))

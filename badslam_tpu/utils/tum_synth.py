@@ -96,8 +96,8 @@ def apply_sensor_noise(depth: np.ndarray, intensity: np.ndarray,
 
 def _render_and_write_frame(args) -> None:
   """Pool worker: render one frame of the heightmap world and write its
-  rgb/depth PNG pair. Module-level (picklable) and numpy/PIL-only so fork
-  workers never touch jax."""
+  rgb/depth PNG pair. Module-level (picklable); runs in spawn workers (fork
+  is unsafe once the parent has run multithreaded XLA work)."""
   (i, T, out_dir, fx, fy, cx, cy, width, height, depth_scaling, seed,
    z_distance, z_variation, sensor_noise) = args
   from PIL import Image as PILImage
@@ -139,7 +139,7 @@ def write_tum_dataset(
   # alias to the same cached dataset.
   import zlib
   traj_hash = zlib.crc32(np.round(np.stack(trajectory), 9).tobytes())
-  stamp = (f"{len(trajectory)} {traj_hash:08x} {width}x{height} "
+  stamp = (f"{len(trajectory)} {traj_hash:08x} {int(cam.width)}x{int(cam.height)} "
            f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}"
            f" {float(cam.fx)},{float(cam.fy)},{float(cam.cx)},{float(cam.cy)}"
            f"{' noise' if sensor_noise else ''}")
@@ -162,17 +162,23 @@ def write_tum_dataset(
   gt_lines = []
   # Rendering is the dominant cost (~1.2 s/frame at 640x480: 16 raycast
   # fixed-point iterations + 5 value-noise octaves, all numpy) and frames
-  # are independent — fan it out over a process pool. fork keeps it
-  # import-cheap; the workers touch only numpy/PIL, never jax.
+  # are independent — fan it out over a process pool. SPAWN context: the
+  # callers (benchmarks, pytest) have usually already run jax device work,
+  # and forking a multithreaded XLA process is documented-unsupported (can
+  # deadlock in the child); spawn's one-time per-worker import cost is
+  # amortized over many ~1.2 s frames.
   n_workers = min(len(trajectory), os.cpu_count() or 1)
   render_args = [
       (i, T, out_dir, float(cam.fx), float(cam.fy), float(cam.cx),
-       float(cam.cy), width, height, depth_scaling, seed, z_distance,
-       z_variation, sensor_noise)
+       float(cam.cy), int(cam.width), int(cam.height), depth_scaling, seed,
+       z_distance, z_variation, sensor_noise)
       for i, T in enumerate(trajectory)]
   if n_workers > 1 and len(trajectory) > 8:
     import multiprocessing
-    ctx = multiprocessing.get_context("fork")
+    try:
+      ctx = multiprocessing.get_context("spawn")
+    except ValueError:
+      ctx = multiprocessing
     with ctx.Pool(n_workers) as pool:
       for k, _ in enumerate(pool.imap_unordered(
           _render_and_write_frame, render_args, chunksize=8)):

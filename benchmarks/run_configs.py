@@ -13,6 +13,9 @@ judged against the thresholds below, and timed configs separate compile
                                                 error < 25%% of injected drift
   (3) self-calibration intrinsics recovery      pass: residual < 0.05 px
   (4) multi-device BA virtual-mesh dryrun       pass: executes
+  (5) pipelined transfer-free front-end         pass: ATE within bound
+  (6) FULL system distributed over 8 devices    pass: trajectory parity
+                                                <= 1e-4 vs single-device
 
 Usage:  python benchmarks/run_configs.py [--out report.json] [--size WxH]
                                          [--frames N]
@@ -272,10 +275,21 @@ def config5_pipelined(width, height, num_frames=30):
   rmse, _ = ate_rmse(est, gt)
   per_frame_bias_m = 8e-5 * (160.0 / width)
   bound = 2.0 * per_frame_bias_m * num_frames / np.sqrt(3.0)
+  import jax
   return {"ate_rmse_m": rmse, "frames": num_frames,
           "transfer_free": True,  # the guard raised otherwise
           "warm_frames_per_s": round(num_frames / elapsed, 2),
           "ate_bound_m": round(float(bound), 5),
+          # Throughput asymmetry note: pipelining pays off through the axon
+          # TPU tunnel (it keeps speculative dispatch alive); on the CPU
+          # backend there is no tunnel to feed and the dense 640x480 math
+          # runs on host cores, so CPU warm_frames_per_s is expected to be
+          # 1-2 orders of magnitude below TPU (report_cpu vs report_tpu).
+          # The pass gate is accuracy-only by design.
+          "throughput_note": (
+              "CPU-backend pipelined FPS is expected to be far below TPU: "
+              "no tunnel to keep pipelined, dense math on host cores"),
+          "backend": jax.default_backend(),
           "pass": bool(rmse <= bound)}
 
 
@@ -307,6 +321,53 @@ def config4_multichip():
   return {"devices": 8, "dryrun": "ok", "virtual": True, "pass": True}
 
 
+def config6_mesh_system():
+  """FULL SLAM system distributed: 32 frames of BadSlam.process_frame
+  (odometry + keyframing + loop detection + BA) over the 8-device mesh,
+  gated on trajectory parity <= 1e-4 vs the single-device run (round-3
+  verdict item 1). Runs on the real devices when >= 8 are visible, else in
+  a virtual-8-CPU subprocess (functional validation, like config4)."""
+  import jax
+  code = (
+      "import json, numpy as np\n"
+      "from tests.test_mesh_system import _run_system, make_mesh\n"
+      "traj_s, slam_s = _run_system(None)\n"
+      "traj_m, slam_m = _run_system(make_mesh())\n"
+      "print('JSON:' + json.dumps({\n"
+      "  'frames': int(traj_s.shape[0]),\n"
+      "  'keyframes': slam_m.direct_ba.keyframe_count,\n"
+      "  'surfels': slam_m.direct_ba.surfel_count,\n"
+      "  'traj_max_abs_diff': float(np.abs(traj_s - traj_m).max())}))\n")
+  if len(jax.devices()) >= 8:
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    ns = {}
+    with redirect_stdout(buf):
+      exec(code, ns)  # noqa: S102 - our own literal above
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("JSON:")][-1]
+    out = json.loads(line[5:])
+    out["virtual"] = jax.default_backend() == "cpu"
+  else:
+    import subprocess
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8"
+                         ).strip()}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
+                       capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+      return {"error": r.stderr[-500:], "pass": False}
+    line = [l for l in r.stdout.splitlines() if l.startswith("JSON:")][-1]
+    out = json.loads(line[5:])
+    out["virtual"] = True
+  out["devices"] = 8
+  out["pass"] = bool(out["traj_max_abs_diff"] < 1e-4)
+  return out
+
+
 def main():
   p = argparse.ArgumentParser()
   p.add_argument("--out", default=None)
@@ -325,7 +386,8 @@ def main():
                     lambda: config3_self_calibration(w, h)),
                    ("config4_multichip", config4_multichip),
                    ("config5_pipelined",
-                    lambda: config5_pipelined(w, h, args.frames))]:
+                    lambda: config5_pipelined(w, h, args.frames)),
+                   ("config6_mesh_system", config6_mesh_system)]:
     t0 = time.perf_counter()
     try:
       report[name] = fn()

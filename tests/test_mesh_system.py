@@ -1,0 +1,151 @@
+"""FULL SLAM system distributed: BadSlam.process_frame over a device mesh.
+
+The reference's entire per-frame pipeline (bad_slam.cc:170-279 — odometry,
+keyframe creation, loop closure, BA) must hold together when the back-end
+runs sharded (DirectBA mesh mode: surfel store sharded over the mesh's
+'surfels' axis, keyframes replicated; every jitted phase compiles as an SPMD
+program). These tests run the complete system — not just DirectBA steps —
+on the virtual 8-device CPU mesh and require trajectory parity with the
+single-device run.
+
+Covers (round-3 verdict item 1): the host front-end path, the pipelined
+(transfer-free) front-end, parallel BA, and an APPLIED loop closure, all
+over the mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from badslam_tpu.config import BadSlamConfig
+from badslam_tpu.parallel import sharded_ba
+from badslam_tpu.slam.system import BadSlam
+from badslam_tpu.utils import synthetic, tum_synth
+
+W, H = 160, 120
+N_FRAMES = 32
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def make_mesh() -> Mesh:
+  return Mesh(np.asarray(jax.devices()[:8]), (sharded_ba.SURFEL_AXIS,))
+
+
+def _system_config(pipelined=False, parallel=False) -> BadSlamConfig:
+  return BadSlamConfig(
+      keyframe_interval=4, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1,
+      min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      enable_loop_detection=True, parallel_ba=parallel,
+      pipelined_frontend=pipelined)
+
+
+def _run_system(mesh, pipelined=False, parallel=False):
+  """Run the full per-frame pipeline on the heightmap loop world; returns
+  (trajectory (N,4,4), slam)."""
+  cam = synthetic.default_test_camera(W, H)
+  traj = tum_synth.loop_trajectory(N_FRAMES, radius=0.08)
+  video = synthetic.make_heightmap_video(cam, traj)
+  slam = BadSlam(_system_config(pipelined, parallel), video, mesh=mesh)
+  for i in range(N_FRAMES):
+    slam.process_frame(i)
+  slam.stop_ba_thread_and_wait()
+  slam.finalize_pipelined()
+  return (np.stack([video.frames[i].global_T_frame
+                    for i in range(N_FRAMES)]), slam)
+
+
+@pytest.fixture(scope="module")
+def host_single():
+  return _run_system(None)
+
+
+def test_full_system_on_mesh_matches_single_device(host_single):
+  """Host front-end path: 32 frames of BadSlam.process_frame (odometry +
+  keyframing + surfel lifecycle + sequential BA + loop detection) over the
+  8-device mesh, trajectory parity <= 1e-4 vs single-device."""
+  traj_s, slam_s = host_single
+  traj_m, slam_m = _run_system(make_mesh())
+  assert slam_m.direct_ba.keyframe_count == slam_s.direct_ba.keyframe_count
+  # The sharded surfel lifecycle may differ by a handful of boundary surfels
+  # (deterministic reduction order differs across shard counts).
+  assert (abs(slam_m.direct_ba.surfel_count - slam_s.direct_ba.surfel_count)
+          <= 0.01 * slam_s.direct_ba.surfel_count + 16)
+  assert np.abs(traj_m - traj_s).max() < 1e-4
+
+
+def test_pipelined_system_on_mesh_matches_single_device():
+  """Pipelined (transfer-free) front-end over the mesh: the device-resident
+  state machine + transfer-free BA compile and run as SPMD programs;
+  trajectory parity <= 1e-4 vs the single-device pipelined run."""
+  traj_s, _ = _run_system(None, pipelined=True)
+  traj_m, slam_m = _run_system(make_mesh(), pipelined=True)
+  assert slam_m.direct_ba.keyframe_count >= 8
+  assert np.abs(traj_m - traj_s).max() < 1e-4
+
+
+def test_parallel_ba_runs_on_mesh():
+  """Parallel-BA mode (BA thread + keyframe queue) over the mesh: the BA
+  thread drives SPMD programs while the main thread tracks. Thread
+  scheduling is nondeterministic, so the gate is finite + sane poses and a
+  complete keyframe set, not bitwise parity."""
+  traj_m, slam_m = _run_system(make_mesh(), parallel=True)
+  assert np.isfinite(traj_m).all()
+  assert slam_m.direct_ba.keyframe_count == 8
+  # All frames moved off identity (tracking ran) but stayed near the 0.08 m
+  # loop world.
+  assert np.abs(traj_m[:, :3, 3]).max() < 1.0
+
+
+def test_loop_closure_applies_under_mesh():
+  """An actual APPLIED loop closure with the back-end sharded: inject drift
+  into the stored keyframe poses mid-run, revisit the start, and require
+  the pose-graph closure to repair most of it (config2 protocol of
+  benchmarks/run_configs.py, on the mesh)."""
+  from badslam_tpu.geometry import se3
+  from badslam_tpu.loop.detector import LoopDetector
+
+  cam = synthetic.default_test_camera(W, H)
+  rng = np.random.default_rng(7)
+  normals = []
+  for _ in range(3):
+    n = rng.uniform(-1, 1, 3).astype(np.float32)
+    n[2] = -1.0
+    normals.append(n / np.linalg.norm(n))
+  traj = [np.asarray(se3.exp(jnp.asarray(
+      [0.003 * i, 0.001 * i, 0, 0.0008 * i, 0, 0], jnp.float32)))
+      for i in range(10)]
+  traj.append(traj[0].copy())
+  video = synthetic.make_synthetic_video(cam, traj, np.asarray(normals),
+                                         texture_kind="checker")
+  cfg = BadSlamConfig(
+      keyframe_interval=2, num_scales=3, max_depth=5.0,
+      sparse_surfel_cell_size=2,
+      min_observation_count_while_bootstrapping_1=1,
+      min_observation_count_while_bootstrapping_2=1, min_observation_count=1,
+      initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
+      parallel_ba=False)
+  det = LoopDetector(cfg, cam, recent_exclude=2)
+  slam = BadSlam(cfg, video, loop_detector=det, mesh=make_mesh())
+  for i in range(10):
+    slam.process_frame(i)
+  poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
+  drift = 0.08
+  for s_, d in ((3, 0.06), (4, drift)):
+    poses[s_][0, 3] += d
+  slam.direct_ba.kf = slam.direct_ba.kf._replace(
+      global_T_frame=jnp.asarray(poses))
+  slam.base_kf_global_T_frame = poses[4]
+  slam.process_frame(10, force_keyframe=True)
+  ev = det.events[-1] if det.events else None
+  assert ev is not None and ev.applied, "loop closure must apply on the mesh"
+  err = float(np.linalg.norm(
+      video.frames[10].global_T_frame[:3, 3] - traj[10][:3, 3]))
+  assert err < 0.25 * drift, f"closure repaired too little: {err}"

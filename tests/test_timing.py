@@ -20,13 +20,19 @@ def _heavy():
   return f, x
 
 
+def _timed_blocked(f, x) -> float:
+  t0 = time.perf_counter()
+  jax.block_until_ready(f(x))
+  return time.perf_counter() - t0
+
+
 def test_device_accurate_mode_covers_execution():
   f, x = _heavy()
 
-  # Reference: how long the work actually takes, measured blocking.
-  t0 = time.perf_counter()
-  jax.block_until_ready(f(x))
-  blocked = time.perf_counter() - t0
+  # Reference: how long the work actually takes, measured blocking. MIN of
+  # several repeats — a single sample inflates under machine load (parallel
+  # xdist workers) and then over-bounds the in-phase measurement below.
+  blocked = min(_timed_blocked(f, x) for _ in range(3))
 
   Timing.reset()
   Timing.set_device_accurate(True)
