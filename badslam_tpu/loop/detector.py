@@ -99,6 +99,13 @@ class LoopDetector:
     self.num_loops_closed = 0
     self.num_loops_ignored = 0
     self.events: List[LoopClosureEvent] = []
+    # APPLIED loop constraints (cur_slot, old_slot, cur_T_old), re-added to
+    # every later pose graph so verified closures stay pinned (the reference
+    # rebuilds each graph with only the newest loop edge).
+    self.applied_loop_edges: List[tuple] = []
+    # Device twin for pipelined mode (the applied flag lives on device, so
+    # accumulation must too): (loop_ei, loop_ej, loop_Z, loop_w, loop_count).
+    self._device_loop_edges = None
     # Device-side closures (pipelined mode) whose outcome flag still lives
     # on device; resolve_pending_device_events reads them at finalize.
     self._pending_device_results: List = []
@@ -473,6 +480,16 @@ class LoopDetector:
 
     cfg = slam.config
     width, height = ba.depth_size
+    # Per-keyframe odometry-edge confidence (device; transfer-free) and the
+    # accumulated applied-loop-edge buffer.
+    slam._pl.ensure_edge_capacity(ba.kf.capacity)
+    if self._device_loop_edges is None:
+      lc = device_closure.LOOP_EDGE_BUCKET
+      self._device_loop_edges = (
+          jnp.zeros((lc,), jnp.int32), jnp.zeros((lc,), jnp.int32),
+          jnp.tile(jnp.eye(4, dtype=jnp.float32), (lc, 1, 1)),
+          jnp.zeros((lc,), jnp.float32), jnp.asarray(0, jnp.int32))
+    loop_ei, loop_ej, loop_Z, loop_w, loop_count = self._device_loop_edges
     res = device_closure.verify_and_close(
         ba.kf, ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
         jnp.asarray(cur.kf_slot, jnp.int32), jnp.asarray(old.kf_slot, jnp.int32),
@@ -483,6 +500,8 @@ class LoopDetector:
                      float(self.camera.cx), float(self.camera.cy)],
                     jnp.float32),
         jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w),
+        slam._pl.edge_weight,
+        loop_ei, loop_ej, loop_Z, loop_w, loop_count,
         width=width, height=height, cell_size=ba.cell_size,
         num_scales=cfg.num_scales,
         use_depth_residuals=cfg.use_geometric_residuals,
@@ -491,6 +510,15 @@ class LoopDetector:
         residual_type=("gradmag" if cfg.use_gradmag_for_tracking
                        else "gradient_xy"))
     ba.kf = ba.kf._replace(global_T_frame=res.global_T_frame)
+    self._device_loop_edges = (res.loop_ei, res.loop_ej, res.loop_Z,
+                               res.loop_w, res.loop_count)
+    # Post-closure repair budget: if the closure applies, the subsequent
+    # transfer-free BA iterations re-converge keyframes AND surfels onto
+    # the corrected poses; when it does not apply, the extra iterations
+    # converge immediately (cheap no-ops). The applied flag is on device,
+    # so the budget is planned unconditionally.
+    slam.num_planned_ba_iterations += (
+        cfg.max_num_ba_iterations_per_keyframe)
     self._pending_device_results.append(res)
     return ev(False, "device-pending", n_inliers)
 
@@ -625,13 +653,25 @@ class LoopDetector:
         return ev(False, f"BA will absorb it (avg {avg_px:.2f} px)",
                   n_inliers)
 
-    # Close the loop: pose graph + trajectory deformation.
+    # Close the loop: pose graph + trajectory deformation. Odometry edges
+    # carry the front-end's per-edge confidence (weak where the tracking-
+    # failure gate fired, slam/system.py keyframe_edge_weight), and every
+    # PREVIOUSLY applied loop edge re-enters the graph — the reference
+    # rebuilds the graph with only the newest loop edge each time
+    # (loop_detector.cc:670-705), discarding constraints it already
+    # verified; keeping them pins all revisited regions at once.
     slot_map = [i for i in range(k) if valid[i]]
     graph_poses = poses[slot_map]
-    optimizer = PoseGraphOptimizer(graph_poses, True)
+    ew = getattr(slam, "keyframe_edge_weight", {})
+    odo_w = np.asarray([ew.get(slot_map[i + 1], 1.0)
+                        for i in range(len(slot_map) - 1)], np.float32)
+    optimizer = PoseGraphOptimizer(graph_poses, True, odometry_weights=odo_w)
     gi = slot_map.index(cur.kf_slot)
     gj = slot_map.index(old.kf_slot)
     optimizer.add_edge(gi, gj, cur_T_old_avg)
+    for (pi, pj, pz) in self.applied_loop_edges:
+      if pi in slot_map and pj in slot_map:
+        optimizer.add_edge(slot_map.index(pi), slot_map.index(pj), pz)
     new_poses = optimizer.optimize()
 
     original = remember_keyframe_poses(graph_poses)
@@ -657,5 +697,14 @@ class LoopDetector:
         slam.rgbd_video.frames[i].global_T_frame = p
       if slam.base_kf_index is not None:
         slam.base_kf_global_T_frame = full[slam.base_kf_index]
+
+    self.applied_loop_edges.append(
+        (cur.kf_slot, old.kf_slot, np.asarray(cur_T_old_avg, np.float32)))
+    # Post-closure map repair (the reference follows pose-graph application
+    # with BA that re-converges keyframes AND surfels — the moved keyframes
+    # re-enter the scheme as active): plan a full BA budget so geometry
+    # optimization pulls the surfels onto the corrected poses.
+    slam.num_planned_ba_iterations += (
+        slam.config.max_num_ba_iterations_per_keyframe)
 
     return ev(True, "closed", n_inliers)

@@ -52,6 +52,16 @@ class DeviceClosureResult(NamedTuple):
   ba_enough: jax.Array       # () bool — candidate rejected as absorbable
   consistent: jax.Array      # () bool — refinements mutually consistent
   avg_px: jax.Array          # () float — mean keypoint reprojection motion
+  loop_ei: jax.Array         # (L,) accumulated applied-loop-edge buffer
+  loop_ej: jax.Array         # (L,)
+  loop_Z: jax.Array          # (L, 4, 4)
+  loop_w: jax.Array          # (L,) 0 = unused slot
+  loop_count: jax.Array      # () int32
+
+
+# Capacity of the accumulated applied-loop-edge buffer (device side; the
+# host path keeps an unbounded list, detector.applied_loop_edges).
+LOOP_EDGE_BUCKET = 32
 
 
 @functools.partial(
@@ -67,6 +77,10 @@ def verify_and_close(
     cur_pts, cur_pts_mask,   # (N,3) keypoint unprojections + (N,) mask
     proj_intr,               # (4,) detector-camera fx,fy,cx,cy (is-BA-enough)
     edges_i, edges_j, edge_weight,  # (E,) padded odometry-edge list
+    kf_edge_weight,          # (capacity,) per-keyframe odometry confidence
+                             # (device twin of system.keyframe_edge_weight:
+                             # weak where the tracking-failure gate fired)
+    loop_ei, loop_ej, loop_Z, loop_w, loop_count,  # accumulated loop edges
     *, width: int, height: int, cell_size: int, num_scales: int,
     use_depth_residuals: bool, use_descriptor_residuals: bool,
     convergence_threshold: float, residual_type: str) -> DeviceClosureResult:
@@ -133,15 +147,31 @@ def verify_and_close(
   applied = consistent & jnp.logical_not(ba_enough)
 
   # Pose graph: odometry edges (current relative poses => zero residual)
-  # plus the loop edge cur -> old with measurement cur_T_old_avg.
-  ei = jnp.concatenate([edges_i, cur_slot[None]])
-  ej = jnp.concatenate([edges_j, old_slot[None]])
+  # weighted by the front-end's per-edge tracking confidence, every
+  # previously APPLIED loop edge (accumulated below), plus the new loop
+  # edge cur -> old with measurement cur_T_old_avg.
+  ei = jnp.concatenate([edges_i, loop_ei, cur_slot[None]])
+  ej = jnp.concatenate([edges_j, loop_ej, old_slot[None]])
   odo_Z = se3.inverse(poses[edges_i]) @ poses[edges_j]
-  Z = jnp.concatenate([odo_Z, cur_T_old_avg[None]], axis=0)
-  w = jnp.concatenate([edge_weight, jnp.ones((1,), jnp.float32)])
+  Z = jnp.concatenate([odo_Z, loop_Z, cur_T_old_avg[None]], axis=0)
+  w = jnp.concatenate([edge_weight * kf_edge_weight[edges_j], loop_w,
+                       jnp.ones((1,), jnp.float32)])
   optimized = _optimize_jit(poses, ei, ej, Z, w)
   new_poses = jnp.where(applied, optimized, poses)
 
+  # Remember this loop edge when applied (ring-free append; beyond the
+  # bucket the oldest constraints simply stop being re-added).
+  idx = jnp.clip(loop_count, 0, LOOP_EDGE_BUCKET - 1)
+  record = applied & (loop_count < LOOP_EDGE_BUCKET)
+  loop_ei = loop_ei.at[idx].set(jnp.where(record, cur_slot, loop_ei[idx]))
+  loop_ej = loop_ej.at[idx].set(jnp.where(record, old_slot, loop_ej[idx]))
+  loop_Z = loop_Z.at[idx].set(
+      jnp.where(record, cur_T_old_avg, loop_Z[idx]))
+  loop_w = loop_w.at[idx].set(jnp.where(record, 1.0, loop_w[idx]))
+  loop_count = loop_count + record.astype(jnp.int32)
+
   return DeviceClosureResult(
       global_T_frame=new_poses, applied=applied, ba_enough=ba_enough,
-      consistent=consistent, avg_px=avg_px)
+      consistent=consistent, avg_px=avg_px,
+      loop_ei=loop_ei, loop_ej=loop_ej, loop_Z=loop_Z, loop_w=loop_w,
+      loop_count=loop_count)

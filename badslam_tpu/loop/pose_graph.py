@@ -71,8 +71,17 @@ class PoseGraphOptimizer:
   reads back."""
 
   def __init__(self, keyframe_poses: np.ndarray,
-               add_current_state_odometry_constraints: bool = True):
-    """keyframe_poses: (K, 4, 4) global_T_frame for the valid keyframes."""
+               add_current_state_odometry_constraints: bool = True,
+               odometry_weights: Optional[np.ndarray] = None):
+    """keyframe_poses: (K, 4, 4) global_T_frame for the valid keyframes.
+
+    odometry_weights: optional (K-1,) per-edge confidence for the
+    consecutive-keyframe constraints. The reference uses identity
+    information everywhere (pose_graph_optimizer.h:49-72), which SPREADS a
+    loop-closure correction evenly along the chain; an edge whose tracking
+    failed (constant-position fallback — a guess, not a measurement) should
+    instead absorb the correction, so the front-end hands those edges
+    WEAK_EDGE_WEIGHT (slam/pipelined.py)."""
     self.T0 = np.asarray(keyframe_poses, np.float32)
     k = len(self.T0)
     self.edges_i: List[int] = []
@@ -83,7 +92,8 @@ class PoseGraphOptimizer:
       for i in range(k - 1):
         z = np.asarray(
             se3.inverse(jnp.asarray(self.T0[i])) @ jnp.asarray(self.T0[i + 1]))
-        self.add_edge(i, i + 1, z)
+        w = 1.0 if odometry_weights is None else float(odometry_weights[i])
+        self.add_edge(i, i + 1, z, weight=w)
     self.result: Optional[np.ndarray] = None
 
   def add_edge(self, i: int, j: int, i_T_j: np.ndarray, weight: float = 1.0):

@@ -62,6 +62,32 @@ class PipelinedState:
     # Base keyframe slot per frame at track time; -1 = untracked.
     self.traj_slot = np.full(num_frames, -1, np.int32)
     self.base_slot = -1
+    # Tracking-failure accumulator since the last keyframe (device scalar;
+    # the gate fires ON DEVICE, so the host never reads it): feeds the
+    # keyframe odometry-edge confidence below.
+    self.fail_acc = jnp.zeros((), jnp.float32)
+    # Per-keyframe odometry-edge confidence (device, sized to the keyframe
+    # store capacity; grown alongside it): weight of the pose-graph edge
+    # from the previous keyframe to this one. An edge formed while the
+    # tracking-failure gate fired (constant-position fallback — the pose is
+    # a GUESS, not a measurement) gets WEAK_EDGE_WEIGHT, so a loop-closure
+    # pose graph localizes its correction at the kidnap/blackout edge
+    # instead of spreading it along the whole trajectory.
+    self.edge_weight = None  # lazily sized to kf capacity
+
+  def ensure_edge_capacity(self, capacity: int):
+    if self.edge_weight is None:
+      self.edge_weight = jnp.ones((capacity,), jnp.float32)
+    elif self.edge_weight.shape[0] < capacity:
+      self.edge_weight = jnp.concatenate(
+          [self.edge_weight,
+           jnp.ones((capacity - self.edge_weight.shape[0],), jnp.float32)])
+
+
+# Pose-graph weight of an odometry edge whose tracking failed (see
+# PipelinedState.edge_weight). Non-zero: the edge still connects the graph,
+# but contributes ~nothing — the verified loop edge dominates it.
+WEAK_EDGE_WEIGHT = 0.05
 
 
 def _sane_prediction(est: jax.Array, fallback: jax.Array) -> jax.Array:
@@ -103,7 +129,7 @@ def track_frame(
     base_depth, base_normals, base_intensity,
     tracked_raw_depth, tracked_normals, tracked_intensity,
     depth_intr, a, cfactor, baseline_fx,
-    hist, traj_rel, frame_index,
+    hist, traj_rel, frame_index, fail_acc, force_fail,
     *, hist_n: int, width: int, height: int, cell_size: int,
     num_scales: int, use_depth_residuals: bool,
     use_descriptor_residuals: bool, use_motion_model: bool,
@@ -111,7 +137,11 @@ def track_frame(
     min_resid: int, max_speed: float):
   """One frame of tracking, fully on device: prediction -> multi-scale
   pairwise GN -> renormalization -> failure gate -> history/trajectory
-  update. Returns (hist', traj_rel')."""
+  update. fail_acc accumulates gate firings since the last keyframe (feeds
+  the odometry-edge confidence); force_fail (0/1 scalar) injects a failure
+  — the fault-injection seam for kidnap/blackout protocols (a covered lens
+  manifests exactly as the gate firing). Returns
+  (hist', traj_rel', fail_acc')."""
   from badslam_tpu.slam.system import _odometry_jit  # late: avoids cycle
   est1, est2 = _predict(hist, hist_n, use_motion_model)
   pose, n_resid = _odometry_jit(
@@ -129,10 +159,12 @@ def track_frame(
   bad = jnp.logical_or(
       jnp.logical_or(~jnp.all(jnp.isfinite(pose)), n_resid < min_resid),
       speed > max_speed)
+  bad = jnp.logical_or(bad, force_fail > 0)
   pose = jnp.where(bad, prev_rel, pose)
   hist = jnp.concatenate([hist[1:], pose[None]], axis=0)
   traj_rel = traj_rel.at[frame_index].set(pose)
-  return hist, traj_rel
+  fail_acc = jnp.maximum(fail_acc, bad.astype(jnp.float32))
+  return hist, traj_rel, fail_acc
 
 
 @jax.jit
@@ -141,6 +173,17 @@ def keyframe_pose(kf_global_T_frame, base_slot, hist):
   with the tracked relative pose (bad_slam.cc:1029-1037 semantics, without
   the host round trip)."""
   return se3.orthonormalize(kf_global_T_frame[base_slot] @ hist[2])
+
+
+@jax.jit
+def record_edge_weight(edge_weight, slot, fail_acc):
+  """Write the new keyframe's odometry-edge confidence from the device
+  failure accumulator (WEAK_EDGE_WEIGHT if the tracking-failure gate fired
+  anywhere since the last keyframe — the edge is a constant-position guess,
+  not a measurement) and reset the accumulator. Returns
+  (edge_weight', fail_acc')."""
+  w = jnp.where(fail_acc > 0, WEAK_EDGE_WEIGHT, 1.0)
+  return edge_weight.at[slot].set(w), jnp.zeros((), jnp.float32)
 
 
 @jax.jit

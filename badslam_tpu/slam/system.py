@@ -196,6 +196,15 @@ class BadSlam:
     self.last_frame_index = -1
     self.pose_estimated = False
     self.keyframe_created = False
+    # Odometry-edge confidence per keyframe SLOT (host mirror; pipelined
+    # mode keeps the device twin in PipelinedState.edge_weight): the weight
+    # of the pose-graph edge from the previous keyframe into this one.
+    # Weak (WEAK_EDGE_WEIGHT) when the tracking-failure gate fired anywhere
+    # since the last keyframe — such an edge is a constant-position GUESS,
+    # and a later loop closure should localize its correction there instead
+    # of spreading it over the whole trajectory (loop/pose_graph.py).
+    self.keyframe_edge_weight: dict = {}
+    self._tracking_failed_since_kf = False
     # Real-time pacing state (bad_slam.cc EndFrame :449-479 and the
     # sequential-BA time budget :213-278): actual_frame_start_time_ /
     # target_frame_end_time_ in the reference.
@@ -458,6 +467,16 @@ class BadSlam:
         cap_grew = ba_w.kf.capacity not in warmed_caps
         if cap_grew:
           warmed_caps.add(ba_w.kf.capacity)
+        if warm._pipelined:
+          # Edge-confidence programs are keyed on the edge array's capacity:
+          # replay the growth concat + record at each capacity here (the
+          # growth loop bypasses _create_keyframe_pipelined).
+          from badslam_tpu.slam import pipelined
+          warm._pl.ensure_edge_capacity(ba_w.kf.capacity)
+          warm._pl.edge_weight, warm._pl.fail_acc = \
+              pipelined.record_edge_weight(
+                  warm._pl.edge_weight, jnp.asarray(count - 1, jnp.int32),
+                  warm._pl.fail_acc)
         key = ba_w.ba_window_shape_key(count)
         if key in seen_shapes and not cap_grew:
           continue
@@ -519,6 +538,7 @@ class BadSlam:
     w_, h_ = ba_w.depth_size
     e_cap = max(1, ba_w.kf.capacity - 1)
     kb = device_closure.KEYPOINT_BUCKET
+    lc = device_closure.LOOP_EDGE_BUCKET
     res = device_closure.verify_and_close(
         ba_w.kf, ba_w.depth_intr, ba_w.a, ba_w.cfactor, ba_w.baseline_fx,
         jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
@@ -528,6 +548,10 @@ class BadSlam:
         jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32),
         jnp.zeros((e_cap,), jnp.int32), jnp.zeros((e_cap,), jnp.int32),
         jnp.zeros((e_cap,), jnp.float32),
+        jnp.ones((ba_w.kf.capacity,), jnp.float32),
+        jnp.zeros((lc,), jnp.int32), jnp.zeros((lc,), jnp.int32),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32), (lc, 1, 1)),
+        jnp.zeros((lc,), jnp.float32), jnp.asarray(0, jnp.int32),
         width=w_, height=h_, cell_size=ba_w.cell_size,
         num_scales=cfg.num_scales,
         use_depth_residuals=cfg.use_geometric_residuals,
@@ -563,12 +587,17 @@ class BadSlam:
       with Timing.time("Odometry"):
         base = self.base_kf_images
         w, h = ba.depth_size
-        self._pl.hist, self._pl.traj_rel = pipelined.track_frame(
+        force_fail = jnp.asarray(
+            1.0 if self._tracking_failure_injected(frame_index) else 0.0,
+            jnp.float32)
+        self._pl.hist, self._pl.traj_rel, self._pl.fail_acc = \
+            pipelined.track_frame(
             base.depth, base.normals, base.intensity,
             processed.raw_depth, processed.normals, processed.intensity,
             ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
             self._pl.hist, self._pl.traj_rel,
             jnp.asarray(frame_index, jnp.int32),
+            self._pl.fail_acc, force_fail,
             hist_n=min(3, self._pl.hist_n),
             width=w, height=h, cell_size=ba.cell_size,
             num_scales=cfg.num_scales,
@@ -626,6 +655,13 @@ class BadSlam:
     """Hook between tracking and keyframe creation in the pipelined loop;
     no-op by default (fault-injection wrappers override it)."""
 
+  def _tracking_failure_injected(self, frame_index: int) -> bool:
+    """Fault-injection seam: report a tracking failure for this frame (a
+    covered lens / sensor blackout manifests exactly as the gate firing).
+    Overridden by the kidnap/blackout harness wrappers; always False in
+    production."""
+    return False
+
   def _create_keyframe_pipelined(self, frame_index: int,
                                  processed: ProcessedFrame):
     """CreateKeyframe without readbacks: the keyframe pose is composed on
@@ -654,6 +690,13 @@ class BadSlam:
         processed.depth, processed.normals, processed.radius_sq,
         processed.intensity, processed.rgb, pose_dev, frame_index)
     self.keyframe_frame_indices.append(frame_index)
+    # Odometry-edge confidence (device, transfer-free): weak if the
+    # tracking-failure gate fired since the last keyframe (constant-position
+    # fallback — this edge is a guess). Consumed by the device-closure pose
+    # graph so a post-blackout loop closure localizes its correction here.
+    self._pl.ensure_edge_capacity(ba.kf.capacity)
+    self._pl.edge_weight, self._pl.fail_acc = pipelined.record_edge_weight(
+        self._pl.edge_weight, jnp.asarray(idx, jnp.int32), self._pl.fail_acc)
     if ba.keyframe_count == 1:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
     elif not cfg.do_surfel_updates:
@@ -826,11 +869,13 @@ class BadSlam:
                 else np.eye(4, dtype=np.float32))
     frame_speed = float(np.linalg.norm(base_T_frame[:3, 3] - prev_rel[:3, 3]))
     if (not np.isfinite(base_T_frame).all() or n_resid < min_resid
-        or frame_speed > cfg.max_translation_per_frame):
+        or frame_speed > cfg.max_translation_per_frame
+        or self._tracking_failure_injected(frame_index)):
       log.warning(f"tracking failed at frame {frame_index} "
             f"({n_resid} residuals, {frame_speed:.2f} m moved); "
             "holding last pose")
       base_T_frame = prev_rel
+      self._tracking_failed_since_kf = True
 
     with self._ba_lock:
       new_global_T_frame = self.base_kf_global_T_frame @ base_T_frame
@@ -845,7 +890,8 @@ class BadSlam:
 
   def _add_keyframe_to_ba(self, processed: ProcessedFrame, frame_index: int,
                           global_T_frame: np.ndarray,
-                          run_loop_detection: bool) -> int:
+                          run_loop_detection: bool,
+                          edge_weight: float = 1.0) -> int:
     """AddKeyframeToBA (bad_slam.cc:1120-1158): register in the store, run
     loop closing, create first-keyframe surfels. Caller must NOT hold
     _ba_lock (loop closing re-enters SLAM state). `run_loop_detection` was
@@ -857,6 +903,7 @@ class BadSlam:
         processed.intensity, processed.rgb,
         jnp.asarray(global_T_frame), frame_index)
     self.keyframe_frame_indices.append(frame_index)
+    self.keyframe_edge_weight[idx] = edge_weight
     if ba.keyframe_count == 1:
       # First keyframe: create surfels unfiltered (bad_slam.cc:1087-1094).
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
@@ -944,17 +991,25 @@ class BadSlam:
       self.loop_detector.queue_for_detection(
           np.asarray(processed.intensity), np.asarray(processed.depth))
 
+    # Odometry-edge confidence: weak if the gate fired since the last
+    # keyframe (this edge's relative pose is a constant-position guess).
+    from badslam_tpu.slam.pipelined import WEAK_EDGE_WEIGHT
+    edge_weight = (WEAK_EDGE_WEIGHT if self._tracking_failed_since_kf
+                   else 1.0)
+    self._tracking_failed_since_kf = False
+
     if self._parallel:
       with self._ba_lock:
         self._queued_keyframes.append(
-            (processed, frame_index, last_kf_T_this, run_loop_detection))
+            (processed, frame_index, last_kf_T_this, run_loop_detection,
+             edge_weight))
         keyframes_added = (len(self._queued_keyframes)
                            + ba.keyframe_count)
         self.base_kf_index = None  # resolved when the BA thread adds it
         self.base_kf_global_T_frame = np.asarray(global_T_frame)
     else:
       idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame,
-                                     run_loop_detection)
+                                     run_loop_detection, edge_weight)
       self.base_kf_index = idx
       self.base_kf_global_T_frame = np.asarray(global_T_frame)
       keyframes_added = ba.keyframe_count
@@ -1012,7 +1067,7 @@ class BadSlam:
                 "_drain_keyframe_queue_locked requires _ba_lock")
     while self._queued_keyframes:
       (processed, frame_index, last_kf_T_this,
-       run_loop_detection) = self._queued_keyframes.pop(0)
+       run_loop_detection, edge_weight) = self._queued_keyframes.pop(0)
       ba = self.direct_ba
       if ba.keyframe_count > 0:
         last_slot = ba.keyframe_count - 1
@@ -1023,7 +1078,7 @@ class BadSlam:
       self._ba_lock.release()
       try:
         idx = self._add_keyframe_to_ba(processed, frame_index, global_T_frame,
-                                       run_loop_detection)
+                                       run_loop_detection, edge_weight)
       finally:
         self._ba_lock.acquire()
       self.rgbd_video.frames[frame_index].global_T_frame = \

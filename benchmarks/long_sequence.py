@@ -108,57 +108,31 @@ def make_biased_slam(slam_cls, bias_m_for_frame):
   return BiasedSlam
 
 
-def make_kidnapped_slam(slam_cls, offset_m, at_frame):
-  """Wrap a BadSlam subclass so ONE keyframe-to-keyframe odometry edge (the
-  first keyframe created at/after `at_frame`) carries an `offset_m` error —
-  the one scenario that genuinely requires an APPLIED loop closure.
+def make_kidnapped_slam(slam_cls, at_frame, blackout_frames):
+  """Wrap a BadSlam subclass so the sensor BLACKS OUT for
+  `blackout_frames` frames starting at `at_frame` — the realistic kidnap:
+  a covered/obstructed camera makes the tracking-failure gate fire, the
+  pose holds (constant-position fallback) while the real camera keeps
+  moving, and the accumulated unobserved motion bakes into every later
+  keyframe as a global offset.
 
-  A discontinuity larger than the association pull-in band (Tukey 10 x
-  sigma ~= 0.25 m at 1 m depth), injected out in non-covisible terrain,
-  cannot be re-snapped by BA (no associations bridge the jump): the offset
-  bakes into every later keyframe and surfel, and only the detection ->
-  RANSAC -> refinement -> pose-graph -> trajectory-deformation chain can
-  repair it at the revisit.
+  This exercises the production repair chain end to end: the gate fires
+  through its REAL mechanism (run_odometry / pipelined.track_frame
+  force_fail seam), the keyframe odometry edges formed during the blackout
+  are marked low-confidence (system.keyframe_edge_weight /
+  PipelinedState.edge_weight), and at the revisit the loop closure's pose
+  graph localizes the correction at those weak edges instead of spreading
+  it along the whole trajectory (loop/pose_graph.py odometry_weights).
 
-  The bias is composed into the tracked relative pose immediately before
-  keyframe creation, so it flows through all three consumers at once: the
-  new keyframe's global pose, the queued relative pose used by the parallel-
-  BA fixup, and the motion-model rebase (which divides by the biased last
-  pose, cancelling the bias out of the history — tracking continues
-  smoothly on the kidnapped branch).
+  An offset injected out in non-covisible terrain cannot be re-snapped by
+  BA (no associations bridge the jump; the association pull-in band is
+  Tukey 10 x sigma ~= 0.25 m at 1 m depth) — only the detection -> RANSAC
+  -> refinement -> pose-graph -> trajectory-deformation chain repairs it.
   """
-  from badslam_tpu.geometry import se3_np
 
   class KidnappedSlam(slam_cls):
-    _kidnap_pending = True
-
-    def create_keyframe(self, frame_index, processed):
-      if (self._kidnap_pending and frame_index >= at_frame
-          and self.base_kf_tr_frame):
-        self._kidnap_pending = False
-        bias = np.eye(4, dtype=np.float32)
-        bias[0, 3] = offset_m
-        drifted = se3_np.orthonormalize(self.base_kf_tr_frame[-1] @ bias)
-        self.base_kf_tr_frame[-1] = drifted
-        self.frame_tr_base_kf[-1] = se3_np.inverse(drifted)
-        with self._ba_lock:
-          self.rgbd_video.frames[frame_index].global_T_frame = (
-              self.base_kf_global_T_frame @ drifted)
-      super().create_keyframe(frame_index, processed)
-
-    def _create_keyframe_pipelined(self, frame_index, processed):
-      # Pipelined analog: compose the bias into the DEVICE motion history's
-      # newest entry; it flows into the keyframe pose and the subsequent
-      # anchoring exactly like the host-path injection (H2D only — the
-      # injection itself stays transfer-free).
-      if self._kidnap_pending and frame_index >= at_frame and self._pl.hist_n:
-        self._kidnap_pending = False
-        import jax.numpy as jnp
-        bias = np.eye(4, dtype=np.float32)
-        bias[0, 3] = offset_m
-        self._pl.hist = self._pl.hist.at[2].set(
-            self._pl.hist[2] @ jnp.asarray(bias))
-      super()._create_keyframe_pipelined(frame_index, processed)
+    def _tracking_failure_injected(self, frame_index):
+      return at_frame <= frame_index < at_frame + blackout_frames
 
   return KidnappedSlam
 
@@ -185,11 +159,16 @@ def main():
                       "verifies BA ABSORBS it (e.g. 2e-4); also switches to "
                       "the wide-excursion trajectory")
   p.add_argument("--kidnap", type=float, default=0.0, metavar="METERS",
-                 help="inject a one-keyframe-interval odometry offset burst "
-                      "mid-excursion (e.g. 0.6, beyond the association "
-                      "band) so a loop closure must actually FIRE and "
-                      "repair it; also switches to the wide-excursion "
-                      "trajectory")
+                 help="simulate a sensor blackout mid-excursion long enough "
+                      "to accumulate this much unobserved motion (e.g. 0.6, "
+                      "beyond the association band) so a loop closure must "
+                      "actually FIRE and repair it via the weak-edge pose "
+                      "graph; also switches to the wide-excursion trajectory")
+  p.add_argument("--per_frame_drain", action="store_true",
+                 help="drain the device queue after every frame so per-frame"
+                      " times cover device execution (latency protocol; "
+                      "throughput numbers from such a run are not "
+                      "comparable)")
   p.add_argument("--radius", type=float, default=None,
                  help="orbit radius in meters (default 0.25; "
                       "drift/kidnap modes 2.0)")
@@ -254,11 +233,16 @@ def main():
       initial_keyframe_capacity=64 if args.pipelined else 16,
   )
   slam_cls = BadSlam
-  # Kidnap: one odometry edge at 45% of the run (deep in the excursion, no
-  # covisibility with the start) exceeds the association band.
+  # Kidnap: a sensor blackout at 45% of the run (deep in the excursion, no
+  # covisibility with the start) long enough that the unobserved motion
+  # exceeds the association band. --kidnap METERS is converted to a
+  # blackout length from the orbit's per-frame arc speed.
   kidnap_at = int(0.45 * n)
+  blackout_frames = 0
   if args.kidnap > 0:
-    slam_cls = make_kidnapped_slam(BadSlam, args.kidnap, kidnap_at)
+    arc_speed = 2.0 * np.pi * args.radius * args.loops / n  # m per frame
+    blackout_frames = max(2, int(round(args.kidnap / arc_speed)))
+    slam_cls = make_kidnapped_slam(BadSlam, kidnap_at, blackout_frames)
   elif args.drift > 0:
     slam_cls = make_biased_slam(BadSlam, lambda i: args.drift)
   slam = slam_cls(cfg, video)
@@ -277,8 +261,9 @@ def main():
     report["drift_m_per_frame"] = args.drift
     report["uncorrected_endpoint_drift_m"] = round(args.drift * n, 4)
   if args.kidnap > 0:
-    report["kidnap_m"] = args.kidnap
+    report["kidnap_m_requested"] = args.kidnap
     report["kidnap_at_frame"] = kidnap_at
+    report["blackout_frames"] = blackout_frames
 
   def drain():
     """Wait for all queued device work (no host transfer)."""
@@ -292,12 +277,27 @@ def main():
   # new program (e.g. the device-closure verifier) first appears; the axon
   # backend has no persistent compile cache, so cumulative FPS mixes those
   # in (see PERF.md).
+  #
+  # PER-FRAME times are recorded for every frame (host wall time around
+  # process_frame). Without --per_frame_drain they measure the frame's HOST
+  # cost — dispatch plus everything host-side (BoW retrain, RANSAC, compile
+  # spikes), which is exactly where tail spikes live; device execution
+  # overlaps across frames (async dispatch). With --per_frame_drain the
+  # device queue is drained every frame, so each sample covers the frame's
+  # device execution too (the cudaEvent-accurate protocol,
+  # bad_slam.cc:411-447) — at the cost of serializing dispatch against
+  # execution, so throughput numbers from such a run are NOT comparable.
   span = 50
   span_seconds = []
+  frame_seconds = np.zeros(n, np.float64)
   t_span = time.perf_counter()
   t0 = t_span
   for i in range(n):
+    t_frame = time.perf_counter()
     slam.process_frame(i)
+    if args.per_frame_drain:
+      drain()
+    frame_seconds[i] = time.perf_counter() - t_frame
     video.frames[i].clear_cache()
     if (i + 1) % span == 0:
       drain()
@@ -315,6 +315,17 @@ def main():
     tail = span_seconds[len(span_seconds) // 2:]
     report["steady_state_fps"] = round(span / float(np.median(tail)), 2)
     report["span_s"] = [round(s, 2) for s in span_seconds]
+  # Per-frame tail latency (p50/p95/p99/max, milliseconds). The second half
+  # of the run is also reported separately: steady state, past the one-time
+  # compile spikes (which --prewarm removes).
+  def _percentiles(samples):
+    return {"p50_ms": round(float(np.percentile(samples, 50)) * 1e3, 3),
+            "p95_ms": round(float(np.percentile(samples, 95)) * 1e3, 3),
+            "p99_ms": round(float(np.percentile(samples, 99)) * 1e3, 3),
+            "max_ms": round(float(samples.max()) * 1e3, 3)}
+  report["per_frame"] = dict(
+      _percentiles(frame_seconds), drained=bool(args.per_frame_drain))
+  report["per_frame_steady"] = _percentiles(frame_seconds[n // 2:])
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
     slam.finalize_pipelined()
@@ -355,21 +366,30 @@ def main():
   report["map_error"] = {k: (round(v, 7) if isinstance(v, float) else v)
                          for k, v in map_err.items()}
   if args.kidnap > 0:
-    # The pose-graph closure legitimately leaves interior excursion
-    # keyframes (and their surfels) carrying part of the offset; the map
-    # gate is the ATE gate's job here.
-    report["map_pass"] = True
+    # Kidnap mode: the MEDIAN map gate still applies (the pose-graph repair
+    # + post-closure BA must re-converge the bulk of the map onto the
+    # corrected poses); surfels created DURING the blackout sit at held
+    # poses and are a bounded minority, which the median tolerates.
+    bound = 2.0 * (5e-3 if args.noise else 2e-3)
+    report["map_pass"] = bool(map_err.get("median_abs_m", 1.0) < bound)
   else:
     # Measured: median 0.21 mm at 160x120 (test_map_quality.py), tighter at
     # 640x480; sensor noise (sigma 1.2-1.9 mm) raises the floor.
     bound = 5e-3 if args.noise else 2e-3
     report["map_pass"] = bool(map_err.get("median_abs_m", 1.0) < bound)
   if args.kidnap > 0:
-    # Kidnap mode: the pose-graph closure distributes the correction over
-    # the whole odometry chain (identity information matrices, as the
-    # reference), so interior excursion keyframes keep part of the offset —
-    # the gate requires the repair to remove at least half of it overall.
-    report["ate_pass"] = bool(rmse < 0.5 * args.kidnap)
+    # Actual unobserved offset: the GT displacement over the blackout
+    # window (the held pose misses exactly this motion).
+    gt_ts = sorted(gt_raw.keys())
+    p_start = gt_raw[gt_ts[min(kidnap_at, len(gt_ts) - 1)]]
+    p_end = gt_raw[gt_ts[min(kidnap_at + blackout_frames, len(gt_ts) - 1)]]
+    offset = float(np.linalg.norm(p_end - p_start))
+    report["kidnap_offset_m"] = round(offset, 4)
+    # The weak-edge pose graph (odometry edges formed while the gate fired
+    # carry WEAK_EDGE_WEIGHT) localizes the correction at the blackout
+    # instead of spreading it along the chain, so the repair must remove at
+    # least 75% of the offset (round-3 verdict item 5; old gate was 50%).
+    report["ate_pass"] = bool(rmse < 0.25 * offset)
   elif args.drift > 0:
     # Drift mode: verifies ABSORPTION — per-keyframe frame-to-model BA
     # re-snaps smooth drift against the covisible local map, so the final
