@@ -77,6 +77,14 @@ class BadSlamConfig:
   # transfers until finalize_pipelined(). Implies sequential BA and skips
   # the memory watchdog (slam/pipelined.py).
   pipelined_frontend: bool = False
+  # Pipelined + concurrent BA: dispatch the per-frame transfer-free BA
+  # iterations from a dedicated host thread instead of the frame critical
+  # path (the BAThreadMain analog, bad_slam.cc:1192-1313, without the
+  # keyframe-queue readbacks — keyframes are still registered inline by the
+  # main thread). The frame loop then never waits on BA dispatch; device
+  # execution still serializes on one chip, but under a target_frame_rate
+  # budget BA fills the idle device time between frames.
+  pipelined_concurrent_ba: bool = False
   # Fused VMEM preprocess kernel (ops/pallas_preprocess.py): auto-selected
   # on the TPU backend for frames that fit the VMEM budget (3.9x the XLA
   # stencil chain, bitwise-identical); set False to force the XLA path.

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                  help="transfer-free front-end: zero device->host transfers"
                       " during the run (keeps the TPU tunnel in pipelined"
                       " dispatch; implies --sequential_ba)")
+  p.add_argument("--pipelined_concurrent_ba", action="store_true",
+                 help="with --pipelined_frontend: dispatch the per-frame"
+                      " transfer-free BA iterations from a dedicated host"
+                      " thread instead of the frame critical path (the"
+                      " BAThreadMain analog without readbacks)")
   p.add_argument("--no_pallas_preprocess", action="store_true",
                  help="force the XLA stencil chain instead of the fused"
                       " Pallas preprocess kernel (ops/pallas_preprocess.py)")
@@ -205,6 +210,7 @@ def config_from_args(args) -> BadSlamConfig:
       parallel_ba=not args.sequential_ba,
       use_pcg=args.use_pcg,
       pipelined_frontend=args.pipelined_frontend,
+      pipelined_concurrent_ba=args.pipelined_concurrent_ba,
       use_pallas_preprocess=not args.no_pallas_preprocess,
       enable_loop_detection=not args.no_loop_detection,
       parallel_loop_detection=not args.sequential_loop_detection,

@@ -230,13 +230,35 @@ class BadSlam:
     # on device (slam/pipelined.py). Implies sequential BA — the BA thread's
     # keyframe-queue fixup reads poses back per keyframe.
     self._pipelined = bool(config.pipelined_frontend)
+    self._pl_concurrent_ba = bool(config.pipelined_frontend
+                                  and config.pipelined_concurrent_ba
+                                  and config.estimate_poses)
     if self._pipelined:
       from badslam_tpu.slam import pipelined
       self._pl = pipelined.PipelinedState(len(rgbd_video.frames))
-      if config.parallel_ba:
-        log.info("pipelined_frontend: forcing sequential BA")
+      if config.parallel_ba and not self._pl_concurrent_ba:
+        log.info("pipelined_frontend: forcing sequential BA "
+                 "(--pipelined_concurrent_ba moves BA off the frame path)")
     self._parallel = bool(config.parallel_ba and config.estimate_poses
                           and not self._pipelined)
+    if self._pl_concurrent_ba:
+      # Concurrent transfer-free BA (config.pipelined_concurrent_ba): a
+      # dedicated thread owns the MAP WRITES for BA iterations; the main
+      # thread's map writes (keyframe registration, device closures) and
+      # map READS that must see a consistent keyframe set take
+      # _pl_map_lock. The thread performs no device->host transfer — the
+      # readback guard holds across both threads (test_pipelined.py).
+      self._pl_map_lock = threading.Lock()
+      self._pl_ba_queue: List[dict] = []
+      self._pl_ba_busy = False
+      self._pl_ba_thread = threading.Thread(
+          target=self._pl_ba_thread_main, name="pl_ba_thread", daemon=True)
+      self._pl_ba_thread.start()
+      import atexit
+      atexit.register(self.stop_ba_thread_and_wait)
+    else:
+      self._pl_map_lock = None
+      self._pl_ba_thread = None
     if self._parallel:
       self._ba_thread = threading.Thread(
           target=self._ba_thread_main, name="ba_thread", daemon=True)
@@ -627,8 +649,10 @@ class BadSlam:
     self.keyframe_created = create_keyframe
 
     # One transfer-free BA iteration per frame while budget remains — the
-    # parallel-BA thread's schedule (bad_slam.cc:1268-1289) on the main
-    # thread, with the whole store active.
+    # parallel-BA thread's schedule (bad_slam.cc:1268-1289); inline on the
+    # main thread, or handed to the concurrent BA thread
+    # (pipelined_concurrent_ba) so the frame path never waits on BA
+    # dispatch.
     if self.num_planned_ba_iterations > 0 and ba.keyframe_count >= 2:
       self.ba_counter += 1
       k = ba.keyframe_count
@@ -636,20 +660,87 @@ class BadSlam:
           cfg.optimize_intrinsics and k >= 10 and
           (k <= 20 or
            self.ba_counter % cfg.intrinsics_optimization_interval == 0))
-      with Timing.time("Bundle adjustment"):
-        ba.bundle_adjustment(
-            optimize_depth_intrinsics=(optimize_depth_intrinsics
-                                       and cfg.use_geometric_residuals),
-            optimize_color_intrinsics=(optimize_depth_intrinsics
-                                       and cfg.use_photometric_residuals),
-            do_surfel_updates=cfg.do_surfel_updates,
-            optimize_poses=True, optimize_geometry=True,
-            min_iterations=0, max_iterations=1,
-            active_keyframe_window_start=0,
-            active_keyframe_window_end=k - 1,
-            increase_ba_iteration_count=False,
-            transfer_free=True)
+      opts = dict(
+          optimize_depth_intrinsics=(optimize_depth_intrinsics
+                                     and cfg.use_geometric_residuals),
+          optimize_color_intrinsics=(optimize_depth_intrinsics
+                                     and cfg.use_photometric_residuals),
+          k=k)
+      if self._pl_concurrent_ba:
+        with self._ba_condition:
+          # Bound the backlog to the per-keyframe budget, as
+          # start_parallel_iterations does: when BA is slower than the
+          # frame rate, excess iterations drop rather than queueing
+          # unboundedly behind the camera.
+          if (len(self._pl_ba_queue)
+              < cfg.max_num_ba_iterations_per_keyframe):
+            self._pl_ba_queue.append(opts)
+            self._ba_condition.notify_all()
+      else:
+        with Timing.time("Bundle adjustment"):
+          self._run_pl_ba_iteration(opts)
       self.num_planned_ba_iterations -= 1
+
+  def _run_pl_ba_iteration(self, opts: dict):
+    """One transfer-free BA iteration over the full store (the parallel-BA
+    thread's schedule, bad_slam.cc:1268-1289)."""
+    cfg = self.config
+    self.direct_ba.bundle_adjustment(
+        optimize_depth_intrinsics=opts["optimize_depth_intrinsics"],
+        optimize_color_intrinsics=opts["optimize_color_intrinsics"],
+        do_surfel_updates=cfg.do_surfel_updates,
+        optimize_poses=True, optimize_geometry=True,
+        min_iterations=0, max_iterations=1,
+        active_keyframe_window_start=0,
+        active_keyframe_window_end=opts["k"] - 1,
+        increase_ba_iteration_count=False,
+        transfer_free=True)
+
+  def _pl_ba_thread_main(self):
+    """Concurrent transfer-free BA worker (pipelined_concurrent_ba): the
+    BAThreadMain analog (bad_slam.cc:1192-1313) without keyframe-queue
+    readbacks — keyframes are registered inline by the main thread; this
+    thread only runs BA iterations, holding the map lock for each whole
+    iteration (the reference holds ba_thread_mutex_ across its BA
+    iteration the same way)."""
+    while True:
+      with self._ba_condition:
+        self._pl_ba_busy = False
+        while not self._pl_ba_queue and not self._quit_requested:
+          self._ba_condition.wait(timeout=0.1)
+        if self._quit_requested and not self._pl_ba_queue:
+          return
+        self._pl_ba_busy = True
+        opts = self._pl_ba_queue.pop(0)
+      try:
+        with self._pl_map_lock:
+          # The keyframe set may have grown since the request was queued;
+          # the snapshot k keeps the window consistent with the planned
+          # iteration (new keyframes get their own budget).
+          self._run_pl_ba_iteration(opts)
+      except BaseException as e:  # surface to _drain_pl_ba, don't hang it
+        with self._ba_condition:
+          self._pl_ba_error = e
+          self._pl_ba_busy = False
+          self._pl_ba_queue.clear()
+        raise
+
+  def _drain_pl_ba(self):
+    """Wait until the concurrent BA thread has no queued or in-flight
+    iteration (finalize/save need the final BA state). Re-raises any
+    exception the BA thread died with."""
+    if self._pl_ba_thread is None:
+      return
+    import time as _time
+    while True:
+      with self._ba_lock:
+        err = getattr(self, "_pl_ba_error", None)
+        if err is not None:
+          self._pl_ba_error = None
+          raise err
+        if not self._pl_ba_queue and not self._pl_ba_busy:
+          return
+      _time.sleep(0.002)
 
   def _after_pipelined_tracking(self, frame_index: int):
     """Hook between tracking and keyframe creation in the pipelined loop;
@@ -669,7 +760,18 @@ class BadSlam:
     features come from the host image copies (the reference extracts them
     on the CPU too, bad_slam.cc:1014-1024). The memory-pressure watchdog is
     skipped — its merge ranking reads poses back; size the surfel store via
-    config in pipelined runs."""
+    config in pipelined runs.
+
+    Map writes here (keyframe registration, surfel creation, device
+    closures) take the map lock in concurrent-BA mode — the BA thread is
+    the only other map writer and holds the same lock per iteration."""
+    import contextlib
+    with (self._pl_map_lock if self._pl_map_lock is not None
+          else contextlib.nullcontext()):
+      self._create_keyframe_pipelined_locked(frame_index, processed)
+
+  def _create_keyframe_pipelined_locked(self, frame_index: int,
+                                        processed: ProcessedFrame):
     from badslam_tpu.slam import pipelined
     ba = self.direct_ba
     cfg = self.config
@@ -753,6 +855,7 @@ class BadSlam:
     if not self._pipelined:
       return
     from badslam_tpu.slam import pipelined
+    self._drain_pl_ba()  # final poses must include queued BA iterations
     if self.loop_detector is not None:
       self.loop_detector.resolve_pending_device_events()
     poses = pipelined.finalize(
@@ -1161,6 +1264,13 @@ class BadSlam:
   def stop_ba_thread_and_wait(self):
     """StopBAThreadAndWaitForIt (bad_slam.h): finish queued work, stop the
     thread, and register any keyframes still in the queue."""
+    if self._pl_ba_thread is not None:
+      self._drain_pl_ba()
+      with self._ba_condition:
+        self._quit_requested = True
+        self._ba_condition.notify_all()
+      self._pl_ba_thread.join(timeout=300.0)
+      self._pl_ba_thread = None
     if self._ba_thread is None:
       if self.loop_detector is not None:
         self.loop_detector.request_exit_and_wait()

@@ -152,6 +152,10 @@ def main():
                  help="transfer-free pipelined front-end (zero device->host "
                       "transfers inside the frame loop; implies sequential "
                       "BA; see slam/pipelined.py)")
+  p.add_argument("--concurrent_ba", action="store_true",
+                 help="with --pipelined: run the transfer-free BA "
+                      "iterations on a dedicated host thread off the frame "
+                      "critical path (pipelined_concurrent_ba)")
   p.add_argument("--noise", action="store_true",
                  help="apply the Kinect-class sensor-noise model")
   p.add_argument("--drift", type=float, default=0.0, metavar="M_PER_FRAME",
@@ -222,6 +226,7 @@ def main():
       parallel_loop_detection=not args.sequential and not args.pipelined,
       enable_loop_detection=True,
       pipelined_frontend=args.pipelined,
+      pipelined_concurrent_ba=args.pipelined and args.concurrent_ba,
       # Pipelined runs pre-size both stores and CAP the surfel store: the
       # dense BA phases cost O(capacity), the transfer-free growth bound
       # over-estimates (it ratchets by one creation pass's headroom), and
@@ -247,7 +252,9 @@ def main():
     slam_cls = make_biased_slam(BadSlam, lambda i: args.drift)
   slam = slam_cls(cfg, video)
   report = {"frames": n, "parallel": not args.sequential,
-            "noise": args.noise}
+            "noise": args.noise,
+            "pipelined": args.pipelined,
+            "concurrent_ba": bool(args.pipelined and args.concurrent_ba)}
   if args.prewarm:
     # Production startup mode: compile every program shape of the expected
     # map size before the frame loop — the measured run then has no

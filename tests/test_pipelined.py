@@ -97,6 +97,34 @@ def _translation_errors(video, traj_gt):
   return np.asarray(errs)
 
 
+def test_pipelined_concurrent_ba_transfer_free_and_accurate():
+  """pipelined_concurrent_ba: BA iterations run on a dedicated host thread
+  off the frame critical path. The readback guard patches the process-wide
+  ArrayImpl._value, so it covers the BA thread too — the whole two-thread
+  loop must stay transfer-free, and the trajectory must match the inline
+  mode's accuracy."""
+  cam = synthetic.default_test_camera(W, H)
+  normals = _world()
+  traj_gt = _trajectory(N_FRAMES)
+  video = synthetic.make_synthetic_video(cam, traj_gt, normals)
+  slam = BadSlam(_config(pipelined_frontend=True,
+                         pipelined_concurrent_ba=True,
+                         parallel_ba=True), video)
+  slam.prewarm()
+  try:
+    with forbid_device_to_host():
+      for i in range(N_FRAMES):
+        slam.process_frame(i)
+      slam._drain_pl_ba()  # surface any BA-thread guard trips
+  finally:
+    slam.stop_ba_thread_and_wait()
+  slam.finalize_pipelined()
+  errs_t = _translation_errors(video, traj_gt)
+  assert errs_t.max() < 5e-3, f"translation errors {errs_t}"
+  assert slam.direct_ba.keyframe_count == 3
+  assert slam.direct_ba.surfel_count > 500
+
+
 def test_pipelined_is_transfer_free_and_accurate():
   cam = synthetic.default_test_camera(W, H)
   normals = _world()
