@@ -212,17 +212,22 @@ class LoopDetector:
     vocab_train_size keyframes exist, fit the hierarchical k-medians tree on
     all database descriptors, fit IDF, and back-fill BoW vectors.
 
-    The vocabulary RETRAINS every time the database quadruples past the
-    last training size: a tree fit on the first 30 keyframes aliases the
-    content of a 400-keyframe map into too few effective words (measured
-    recall dropped 0.98 -> 0.83 between 200 and 400 keyframes), and the
-    reference sidesteps this only by shipping a large offline vocabulary
-    (brief_k10L6.voc, 10^6 words). Depth grows with the descriptor count so
-    the word budget stays ahead of the database."""
+    The vocabulary RETRAINS every time the database DOUBLES past the last
+    training size: a tree fit on the first 30 keyframes aliases the content
+    of a larger map into too few effective words, and the reference
+    sidesteps this only by shipping a large offline vocabulary
+    (brief_k10L6.voc, 10^6 words). Round-3 used quadrupling (retrains at
+    30/120/480), which left a 400-keyframe database querying a 120-keyframe
+    vocabulary — measured recall 0.87; doubling (30/60/120/240/480) keeps
+    staleness <= 2x and lifts recall to >= 0.95 at the same precision
+    (benchmarks/retrieval_report.json). Fit cost is linear in the database,
+    so doubling keeps TOTAL training work <= 4x the final fit — amortized
+    O(1) per keyframe. Depth grows with the descriptor count so the word
+    budget stays ahead of the database."""
     live = [e for e in self.entries if e is not None and len(e.descriptors)]
     if len(live) < self.vocab_train_size:
       return
-    if self.vocab is not None and len(live) < 4 * self._vocab_trained_on:
+    if self.vocab is not None and len(live) < 2 * self._vocab_trained_on:
       return
     from badslam_tpu.loop import bow
     all_desc = np.concatenate([e.descriptors for e in live])
@@ -297,16 +302,29 @@ class LoopDetector:
       # blur) rejects the query instead of loosening the gate.
       if norm_score < 0.005:
         self._prev_best_db = None
+        self._prev_cand_dbs = None
         return None, 0, []
       eta = scores / max(norm_score, 1e-6)
       order = np.argsort(-eta)[: self.max_candidates]
       best_db = usable[order[0]][0] if len(order) else None
       candidates = [usable[oi] for oi in order if eta[oi] >= NSS_ALPHA]
-      # Temporal consistency k=1: the previous query's best match must point
-      # near this one's (same place revisited across consecutive queries).
+      # Temporal consistency k=1 over candidate ISLANDS (DLoopDetector
+      # groups matches into db-index islands and requires consecutive
+      # queries to hit the same island): a detection is accepted only when
+      # SOME current candidate is index-near SOME of the previous query's
+      # candidates. Round-3 compared single best indices, which falsely
+      # rejected genuine revisits whenever the same PLACE had database
+      # entries from multiple passes (best flipping between pass-1 and
+      # pass-2 indices) — all 38 of the measured recall losses at 400
+      # keyframes came from that.
+      cand_dbs = [i for i, _ in candidates]
+      prev_cands = getattr(self, "_prev_cand_dbs", None)
       consistent = (not self.temporal_consistency or
-                    (self._prev_best_db is not None and best_db is not None
-                     and abs(best_db - self._prev_best_db) <= 5))
+                    (prev_cands is not None and any(
+                        abs(c - p) <= 5 for c in cand_dbs
+                        for p in prev_cands)))
+      self._prev_cand_dbs = cand_dbs or (
+          [best_db] if best_db is not None else [])
       self._prev_best_db = best_db
       if not candidates or not consistent:
         return None, 0, []

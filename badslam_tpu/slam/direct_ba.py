@@ -396,6 +396,11 @@ class DirectBA:
 
     self.ba_iteration_count = 0
     self.last_ba_iteration_count = -1
+    # Outlier-rejection accounting (kernel_delete_surfels.cu counts the
+    # same way): surfels invalidated by the end-of-scheme delete pass
+    # (min-observation / free-space-violation filtering). Only maintained
+    # outside transfer-free mode — the count is a device read.
+    self.num_surfels_deleted = 0
     # Host-side per-slot bookkeeping (mirrors Keyframe::last_active_in_ba_iteration).
     self.last_active_in_ba_iteration = np.full(kcap, -1, np.int64)
     self.use_depth_residuals = config.use_geometric_residuals
@@ -896,11 +901,14 @@ class DirectBA:
                 w, h, self.cell_size,
                 jnp.asarray(self.surfel_merge_dist_factor, jnp.float32))
     with Timing.time("BA final surfel del. and radius upd."):
+      before = None if transfer_free else self.surfel_count
       self.surfels = _delete_surfels_jit(
           self.surfels, self.kf, self.depth_intr, self.a, self.cfactor,
           self.baseline_fx,
           jnp.asarray(self.get_min_observation_count(), jnp.int32),
           w, h, self.cell_size, True)
+      if before is not None:
+        self.num_surfels_deleted += max(0, before - self.surfel_count)
     # Compaction (CompactSurfelsCUDA in the reference's end tasks,
     # direct_ba.cc:645): reclaim dead slots when fragmentation is high so
     # the watermark does not creep toward capacity. The fragmentation check

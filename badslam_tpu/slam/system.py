@@ -205,6 +205,8 @@ class BadSlam:
     # of spreading it over the whole trajectory (loop/pose_graph.py).
     self.keyframe_edge_weight: dict = {}
     self._tracking_failed_since_kf = False
+    # Keyframes deleted by the HBM watchdog's merge over the run.
+    self.num_keyframes_merged = 0
     # Real-time pacing state (bad_slam.cc EndFrame :449-479 and the
     # sequential-BA time budget :213-278): actual_frame_start_time_ /
     # target_frame_end_time_ in the reference.
@@ -1035,14 +1037,19 @@ class BadSlam:
         self, "_loop_detection_counter", -1) + 1
     return self._loop_detection_counter % interval == 0
 
+  def _device_memory_stats(self):
+    """Seam for the watchdog's memory read (tests inject fake stats; CPU
+    backends often report none)."""
+    try:
+      return jax.local_devices()[0].memory_stats()
+    except Exception:
+      return None
+
   def _check_memory_pressure(self):
     """Low-HBM watchdog (bad_slam.cc:958-968): merge keyframes when free
     device memory drops below min_free_gpu_memory_mb + ~one keyframe."""
     approx_keyframe_bytes = 4 * 1024 * 1024  # kApproxKeyframeSize
-    try:
-      stats = jax.local_devices()[0].memory_stats()
-    except Exception:
-      return
+    stats = self._device_memory_stats()
     if not stats:
       return
     limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
@@ -1068,6 +1075,7 @@ class BadSlam:
         self._ba_condition.notify_all()
     else:
       deleted = self.direct_ba.merge_keyframes(self.loop_detector)
+      self.num_keyframes_merged += deleted
       if deleted:
         log.warning(f"low device memory; merged {deleted} keyframe(s)")
 
@@ -1215,6 +1223,7 @@ class BadSlam:
       # lock: this thread is the single map writer in parallel mode.
       if merge_requested:
         deleted = self.direct_ba.merge_keyframes(self.loop_detector)
+        self.num_keyframes_merged += deleted
         if deleted:
           log.warning(f"low device memory; merged {deleted} keyframe(s)")
 

@@ -210,6 +210,47 @@ def heightmap_z(x: np.ndarray, y: np.ndarray, z_distance: float = 1.0,
   return z_distance + z_variation * (2.0 * v / 1.5 - 1.0)
 
 
+def occlusion_boxes(seed: int = 5, z_distance: float = 1.0,
+                    spread: float = 0.55, num_boxes: int = 7) -> np.ndarray:
+  """Deterministic floating axis-aligned boxes between the camera and the
+  heightmap — the occlusion-rich world (round-3 verdict item 7): box edges
+  create depth discontinuities and occlusion shadows, box sides present
+  steep normals, and edge/mixed pixels produce floating outlier surfels
+  that only free-space-violation filtering (kernel_delete_surfels.cu:84)
+  and isolated-pixel removal (cuda_depth_processing.cu:331) clean up.
+
+  Returns (B, 2, 3): per box (min_corner, max_corner) in world frame.
+  Boxes hover 0.18-0.38 m above the surface (i.e. in front of it for the
+  downward-looking synthetic cameras), spread over the orbit footprint."""
+  rng = np.random.default_rng(seed + 1000)
+  boxes = []
+  for _ in range(num_boxes):
+    cx_ = rng.uniform(-spread, spread)
+    cy_ = rng.uniform(-spread * 0.5, spread * 1.5)
+    half = rng.uniform(0.05, 0.11, size=2)
+    height = rng.uniform(0.02, 0.05)
+    top = z_distance - rng.uniform(0.18, 0.38)
+    boxes.append([[cx_ - half[0], cy_ - half[1], top],
+                  [cx_ + half[0], cy_ + half[1], top + height]])
+  return np.asarray(boxes, np.float64)
+
+
+def _ray_box_hits(o: np.ndarray, dirs: np.ndarray, boxes: np.ndarray):
+  """Nearest positive ray/AABB hit per pixel (slab method, vectorized).
+  Returns (t_hit, hit_mask) with t_hit = +inf where no box is hit."""
+  t_best = np.full(dirs.shape[:-1], np.inf)
+  inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+  for bmin, bmax in boxes:
+    t0 = (bmin[None, None, :] - o[None, None, :]) * inv
+    t1 = (bmax[None, None, :] - o[None, None, :]) * inv
+    tnear = np.minimum(t0, t1).max(axis=-1)
+    tfar = np.maximum(t0, t1).min(axis=-1)
+    hit = (tfar >= tnear) & (tfar > 1e-6)
+    t_entry = np.where(tnear > 1e-6, tnear, tfar)  # inside-box: exit
+    t_best = np.where(hit & (t_entry < t_best), t_entry, t_best)
+  return t_best, np.isfinite(t_best)
+
+
 def render_heightmap(
     camera: PinholeCamera,
     global_T_frame: np.ndarray,
@@ -219,10 +260,18 @@ def render_heightmap(
     texture_cell: float = 0.02,
     border: int = 2,
     raw_to_float_depth: float = 1.0 / 5000.0,
+    boxes: "np.ndarray | None" = None,
+    texture_period: "float | None" = None,
 ):
   """(depth, intensity) of the heightmap surface from an arbitrary pose, by
   fixed-point ray casting (low slopes -> fast convergence). The intensity is
-  dense value noise at ~2 cm world scale — strong gradients everywhere."""
+  dense value noise at ~2 cm world scale — strong gradients everywhere.
+
+  texture_period: perceptual-aliasing mode — the TEXTURE repeats with this
+  world period (x and y wrapped modulo period before the noise lookup)
+  while the geometry stays unique, so distinct places look identical to an
+  appearance-only retrieval layer (repeated carpet/tile structure). Used by
+  the retrieval aliasing stress eval (benchmarks/loop_retrieval_eval.py)."""
   w, h = camera.width, camera.height
   R = global_T_frame[:3, :3].astype(np.float64)
   o = global_T_frame[:3, 3].astype(np.float64)
@@ -242,6 +291,14 @@ def render_heightmap(
     py = o[1] + t * dirs[..., 1]
     zs = heightmap_z(px, py, z_distance, z_variation, seed)
     t = (zs - o[2]) / dz_safe
+  box_hit = None
+  if boxes is not None and len(boxes):
+    # Occluders: take the nearer of the heightmap hit and any box hit. Box
+    # pixels are valid geometry (top/side faces); the DEPTH DISCONTINUITY
+    # at their silhouettes is what exercises the outlier machinery.
+    t_box, box_mask = _ray_box_hits(o, dirs, np.asarray(boxes, np.float64))
+    box_hit = box_mask & (t_box < t) & ok
+    t = np.where(box_hit, t_box, t)
   depth = np.where(ok & (t > 0.05), t * 1.0, 0.0)
   # camera-frame z == t since local dir z = 1 before rotation
   depth = np.floor(depth / raw_to_float_depth + 0.5) * raw_to_float_depth
@@ -251,6 +308,9 @@ def render_heightmap(
 
   px = o[0] + t * dirs[..., 0]
   py = o[1] + t * dirs[..., 1]
+  if texture_period is not None:
+    px = np.mod(px, texture_period)
+    py = np.mod(py, texture_period)
   # Band-limited 1/f-style texture. A white-spectrum texture (power at the
   # pixel scale) aliases at every pyramid level: the 2x2-mean pyramid then
   # presents coarse GN with a landscape of false local minima ~0.2 px apart,
@@ -266,6 +326,16 @@ def render_heightmap(
   v = (0.40 * _value_noise_2d(px, py, texture_cell * 17.0, seed + 8)
        + 0.40 * _value_noise_2d(px, py, texture_cell * 5.0, seed + 7)
        + 0.20 * _value_noise_2d(px, py, texture_cell, seed + 9))
+  if box_hit is not None:
+    # Box faces carry their own band-limited texture; pz breaks the
+    # side-face coordinate degeneracy (x or y constant on a face).
+    pz = o[2] + t * dirs[..., 2]
+    bx = px + 3.7 * pz
+    by = py + 1.3 * pz
+    vb = (0.45 * _value_noise_2d(bx, by, texture_cell * 13.0, seed + 21)
+          + 0.35 * _value_noise_2d(bx, by, texture_cell * 4.0, seed + 22)
+          + 0.20 * _value_noise_2d(bx, by, texture_cell, seed + 23))
+    v = np.where(box_hit, vb, v)
   v = 0.15 + 0.7 * v
   u8 = np.clip(np.floor(255.0 * v + 0.5), 0, 255)
   intensity = u8.astype(np.float32) * np.float32(1.0 / 255.0)
@@ -280,16 +350,18 @@ def make_heightmap_video(
     seed: int = 5,
     raw_to_float_depth: float = 1.0 / 5000.0,
     fps: float = 30.0,
+    boxes: "np.ndarray | None" = None,
 ):
   """In-memory RGBDVideo of the heightmap world (well-conditioned for
-  tracking: dense texture, varied normals)."""
+  tracking: dense texture, varied normals). Pass boxes=occlusion_boxes()
+  for the occlusion-rich variant."""
   from badslam_tpu.io.dataset import Frame, RGBDVideo
 
   frames = []
   for i, T in enumerate(trajectory):
     depth, inten = render_heightmap(
         camera, T, z_distance, z_variation, seed,
-        raw_to_float_depth=raw_to_float_depth)
+        raw_to_float_depth=raw_to_float_depth, boxes=boxes)
     u8 = np.clip(np.floor(inten * 255.0 + 0.5), 0, 255).astype(np.uint8)
     rgb = np.stack([u8, u8, u8], axis=-1)
     raw_u16 = np.floor(depth / raw_to_float_depth + 0.5).astype(np.uint16)
@@ -380,7 +452,8 @@ def preprocess_like_test_keyframe(
 def surfel_map_error(positions: np.ndarray,
                      z_distance: float = 1.0,
                      z_variation: float = 0.05,
-                     seed: int = 5) -> dict:
+                     seed: int = 5,
+                     boxes: "np.ndarray | None" = None) -> dict:
   """Map-quality metric against the analytic heightmap world.
 
   The synthetic worlds (render_heightmap / tum_synth.write_tum_dataset) are
@@ -406,6 +479,22 @@ def surfel_map_error(positions: np.ndarray,
   gt_z = heightmap_z(positions[:, 0], positions[:, 1],
                      z_distance, z_variation, seed)
   err = positions[:, 2] - gt_z
+  if boxes is not None and len(boxes):
+    # Occlusion world: a surfel may lie on a box instead of the heightmap —
+    # its error is the distance to the NEAREST surface (AABB signed
+    # distance vs the vertical heightmap distance). Sign kept from the
+    # heightmap term (bias is only meaningful for the dominant surface).
+    abs_box = np.full(positions.shape[0], np.inf)
+    for bmin, bmax in np.asarray(boxes, np.float64):
+      q = np.maximum(np.maximum(bmin[None, :] - positions,
+                                positions - bmax[None, :]), 0.0)
+      outside = np.linalg.norm(q, axis=1)
+      inside = np.minimum(
+          np.min(positions - bmin[None, :], axis=1),
+          np.min(bmax[None, :] - positions, axis=1))
+      d = np.where(outside > 0, outside, np.maximum(inside, 0.0))
+      abs_box = np.minimum(abs_box, d)
+    err = np.where(abs_box < np.abs(err), np.sign(err) * abs_box, err)
   abs_err = np.abs(err)
   return {
       "count": int(positions.shape[0]),

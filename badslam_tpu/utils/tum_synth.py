@@ -99,12 +99,14 @@ def _render_and_write_frame(args) -> None:
   rgb/depth PNG pair. Module-level (picklable); runs in spawn workers (fork
   is unsafe once the parent has run multithreaded XLA work)."""
   (i, T, out_dir, fx, fy, cx, cy, width, height, depth_scaling, seed,
-   z_distance, z_variation, sensor_noise) = args
+   z_distance, z_variation, sensor_noise, occlusions) = args
   from PIL import Image as PILImage
   cam = PinholeCamera(width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy)
+  boxes = (synthetic.occlusion_boxes(seed, z_distance) if occlusions
+           else None)
   depth, inten = synthetic.render_heightmap(
       cam, T, z_distance=z_distance, z_variation=z_variation, seed=seed,
-      raw_to_float_depth=1.0 / depth_scaling)
+      raw_to_float_depth=1.0 / depth_scaling, boxes=boxes)
   if sensor_noise:
     rng = np.random.default_rng(1000003 * seed + i)
     depth, inten = apply_sensor_noise(np.asarray(depth), np.asarray(inten),
@@ -129,6 +131,7 @@ def write_tum_dataset(
     z_variation: float = 0.05,
     camera: Optional[PinholeCamera] = None,
     sensor_noise: bool = False,
+    occlusions: bool = False,
     quiet: bool = False,
 ) -> str:
   """Render + write the dataset; returns out_dir. Skips rendering when the
@@ -142,7 +145,8 @@ def write_tum_dataset(
   stamp = (f"{len(trajectory)} {traj_hash:08x} {int(cam.width)}x{int(cam.height)} "
            f"{depth_scaling} {fps} {seed} {z_distance} {z_variation}"
            f" {float(cam.fx)},{float(cam.fy)},{float(cam.cx)},{float(cam.cy)}"
-           f"{' noise' if sensor_noise else ''}")
+           f"{' noise' if sensor_noise else ''}"
+           f"{' occlusions' if occlusions else ''}")
   stamp_path = os.path.join(out_dir, ".generator_stamp")
   if os.path.exists(stamp_path):
     with open(stamp_path) as f:
@@ -171,7 +175,7 @@ def write_tum_dataset(
   render_args = [
       (i, T, out_dir, float(cam.fx), float(cam.fy), float(cam.cx),
        float(cam.cy), int(cam.width), int(cam.height), depth_scaling, seed,
-       z_distance, z_variation, sensor_noise)
+       z_distance, z_variation, sensor_noise, occlusions)
       for i, T in enumerate(trajectory)]
   if n_workers > 1 and len(trajectory) > 8:
     import multiprocessing
@@ -218,6 +222,9 @@ def main():
   p.add_argument("--seed", type=int, default=5)
   p.add_argument("--noise", action="store_true",
                  help="apply the Kinect-class sensor-noise model")
+  p.add_argument("--occlusions", action="store_true",
+                 help="add floating occluder boxes (depth discontinuities, "
+                      "occlusion shadows; synthetic.occlusion_boxes)")
   args = p.parse_args()
   w, h = (int(v) for v in args.size.split("x"))
   if args.trajectory == "loop":
@@ -226,7 +233,7 @@ def main():
     traj = straight_trajectory(args.frames)
   write_tum_dataset(args.out_dir, traj, width=w, height=h,
                     depth_scaling=args.depth_scaling, seed=args.seed,
-                    sensor_noise=args.noise)
+                    sensor_noise=args.noise, occlusions=args.occlusions)
   print(f"wrote {args.frames} frames to {args.out_dir}")
 
 

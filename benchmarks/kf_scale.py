@@ -136,13 +136,19 @@ def main():
                                           _scatter_kf_window_jit)
   win_idx = jnp.arange(8, dtype=jnp.int32)
 
-  def windowed_iteration(s, k_full):
-    # DirectBA's active-window path: gather the 8 active keyframes, run the
-    # phases on the window, scatter poses back (gather/scatter cost included
-    # in the timing — this is what bundle_adjustment actually pays).
-    k_win = _gather_kf_window_jit(k_full, win_idx)
-    s, k_win = ba_iteration(s, k_win, ba.a, ba.cfactor, ba.baseline_fx, intr)
-    return s, _scatter_kf_window_jit(k_full, k_win, win_idx)
+  # Pose perturbation applied before every timed iteration: without it the
+  # batched pose GN converges after the warm-up call and its on-device
+  # while_loop exits after ~1 iteration, so the bench would time the
+  # CONVERGED iteration (flat ~0.2 ms at any K on TPU — measured) instead
+  # of a working one. ~2 mm / 0.5 mrad keeps every keyframe unconverged.
+  @jax.jit
+  def perturb(k_store):
+    n = k_store.capacity
+    tw = (jnp.asarray([2e-3, -1.5e-3, 1e-3, 5e-4, -4e-4, 3e-4])[None, :]
+          * (1.0 + 0.1 * jnp.arange(n, dtype=jnp.float32))[:, None])
+    return k_store._replace(
+        global_T_frame=k_store.global_T_frame @ jax.vmap(se3.exp)(tw),
+        activation=k_store.activation)
 
   rows = []
   state = None
@@ -151,16 +157,27 @@ def main():
     k_full = tile_keyframes(base_kf, reps) if reps > 1 else base_kf
     k_win8 = k_full._replace(activation=jnp.where(
         jnp.arange(k_full.capacity) < 8, kf_mod.ACTIVE, 0))
+    def dense_step(s, k):
+      return ba_iteration(s, k, ba.a, ba.cfactor, ba.baseline_fx, intr)
+
+    def windowed_step(s, k_full_):
+      # DirectBA's active-window path: gather the 8 active keyframes, run
+      # the phases on the window, scatter poses back (gather/scatter cost
+      # included — this is what bundle_adjustment actually pays).
+      k_win = _gather_kf_window_jit(k_full_, win_idx)
+      s, k_win = ba_iteration(s, k_win, ba.a, ba.cfactor, ba.baseline_fx,
+                              intr)
+      return s, _scatter_kf_window_jit(k_full_, k_win, win_idx)
+
     for mode, k0, step in (
-        ("all_active", k_full, ba_iteration_step := lambda s, k:
-         ba_iteration(s, k, ba.a, ba.cfactor, ba.baseline_fx, intr)),
-        ("window_8_dense", k_win8, ba_iteration_step),
-        ("window_8_gathered", k_win8, windowed_iteration)):
-      s, k = step(surfels, k0)
+        ("all_active", k_full, dense_step),
+        ("window_8_dense", k_win8, dense_step),
+        ("window_8_gathered", k_win8, windowed_step)):
+      s, k = step(surfels, perturb(k0))
       jax.block_until_ready((s, k))  # compile + warmup, no transfer
       start = time.perf_counter()
       for _ in range(args.iters):
-        s, k = step(s, k)
+        s, k = step(s, perturb(k))
       jax.block_until_ready((s, k))
       elapsed = time.perf_counter() - start
       n_active = n_kf if mode == "all_active" else min(8, n_kf)

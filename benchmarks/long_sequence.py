@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0):
+def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0,
+                   occlusions=False):
   from badslam_tpu.utils import tum_synth
   w, h = (int(v) for v in size.split("x"))
   # Default: TWO full circles of a small (0.25 m) orbit — the entire second
@@ -47,7 +48,8 @@ def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0):
   # revisit arc requires an APPLIED explicit closure.
   traj = tum_synth.loop_trajectory(frames, radius=radius, loops=loops)
   return tum_synth.write_tum_dataset(path, traj, width=w, height=h,
-                                     sensor_noise=noise)
+                                     sensor_noise=noise,
+                                     occlusions=occlusions)
 
 
 def make_biased_slam(slam_cls, bias_m_for_frame):
@@ -158,6 +160,10 @@ def main():
                       "critical path (pipelined_concurrent_ba)")
   p.add_argument("--noise", action="store_true",
                  help="apply the Kinect-class sensor-noise model")
+  p.add_argument("--occlusions", action="store_true",
+                 help="occlusion-rich world: floating boxes add depth "
+                      "discontinuities, occlusion shadows, and outlier "
+                      "edge surfels (synthetic.occlusion_boxes)")
   p.add_argument("--drift", type=float, default=0.0, metavar="M_PER_FRAME",
                  help="inject constant odometry translation drift; gate "
                       "verifies BA ABSORBS it (e.g. 2e-4); also switches to "
@@ -191,10 +197,13 @@ def main():
     args.loops = 1.15 if biased else 2.0
   if biased and args.dataset == p.get_default("dataset"):
     args.dataset += "_excursion"
+  if args.occlusions and args.dataset.startswith("/tmp/badslam_long_seq"):
+    args.dataset += "_occl"
 
   if args.generate_only:
     ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
-                   radius=args.radius, loops=args.loops)
+                   radius=args.radius, loops=args.loops,
+                   occlusions=args.occlusions)
     return 0
 
   from badslam_tpu.config import BadSlamConfig
@@ -211,7 +220,9 @@ def main():
       [sys.executable, __file__, "--generate_only",
        "--dataset", args.dataset, "--frames", str(args.frames),
        "--size", args.size, "--radius", str(args.radius),
-       "--loops", str(args.loops)] + (["--noise"] if args.noise else []),
+       "--loops", str(args.loops)]
+      + (["--noise"] if args.noise else [])
+      + (["--occlusions"] if args.occlusions else []),
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   if gen.returncode != 0:
     raise RuntimeError("dataset generation failed")
@@ -368,8 +379,26 @@ def main():
   T_align = umeyama_alignment(est, gt)
   valid_s = np.asarray(slam.direct_ba.surfels.valid)
   spos = np.asarray(slam.direct_ba.surfels.pos)[valid_s]
-  map_err = synthetic.surfel_map_error(spos @ T_align[:3, :3].T
-                                       + T_align[:3, 3])
+  boxes = synthetic.occlusion_boxes(5) if args.occlusions else None
+  spos_world = spos @ T_align[:3, :3].T + T_align[:3, 3]
+  map_err = synthetic.surfel_map_error(spos_world, boxes=boxes)
+  # Outlier accounting (the occlusion world's reason to exist): how many
+  # surfels the min-observation / free-space-violation delete pass removed
+  # over the run (host modes only; the count is a device read), and how
+  # many SURVIVING surfels still sit > 2 cm off every true surface.
+  report["surfels_deleted_by_filtering"] = (
+      None if args.pipelined else slam.direct_ba.num_surfels_deleted)
+  if map_err.get("count"):
+    gt_z = synthetic.heightmap_z(spos_world[:, 0], spos_world[:, 1])
+    err_v = np.abs(spos_world[:, 2] - gt_z)
+    if boxes is not None:
+      abs_box = np.full(len(spos_world), np.inf)
+      for bmin, bmax in boxes:
+        q = np.maximum(np.maximum(bmin[None] - spos_world,
+                                  spos_world - bmax[None]), 0.0)
+        abs_box = np.minimum(abs_box, np.linalg.norm(q, axis=1))
+      err_v = np.minimum(err_v, abs_box)
+    report["surviving_outlier_surfels_gt_2cm"] = int((err_v > 0.02).sum())
   report["map_error"] = {k: (round(v, 7) if isinstance(v, float) else v)
                          for k, v in map_err.items()}
   if args.kidnap > 0:

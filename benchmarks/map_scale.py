@@ -116,6 +116,19 @@ def main():
         color=rep(s.color), desc=rep(s.desc), valid=rep(s.valid),
         active=rep(s.active), count=s.count * reps)
 
+  # Pose perturbation before every timed iteration: without it the batched
+  # pose GN converges after the warm-up call and its on-device while_loop
+  # exits after ~1 inner iteration — the bench would time the CONVERGED
+  # iteration instead of a working one (measured flat ~0.2 ms at any
+  # capacity on TPU before this fix).
+  @jax.jit
+  def perturb(k_store):
+    n = k_store.capacity
+    tw = (jnp.asarray([2e-3, -1.5e-3, 1e-3, 5e-4, -4e-4, 3e-4])[None, :]
+          * (1.0 + 0.1 * jnp.arange(n, dtype=jnp.float32))[:, None])
+    return k_store._replace(
+        global_T_frame=k_store.global_T_frame @ jax.vmap(se3.exp)(tw))
+
   rows = []
   state = None  # only the latest sweep is kept live, so HBM holds one map
   for cap_log in cap_logs:
@@ -123,11 +136,13 @@ def main():
     reps = cap // base.capacity
     s = tile_surfels(base, reps) if reps > 1 else base
     k = ba.kf
-    s, k = ba_iteration(s, k, ba.a, ba.cfactor, ba.baseline_fx, intr)
+    s, k = ba_iteration(s, perturb(k), ba.a, ba.cfactor, ba.baseline_fx,
+                        intr)
     jax.block_until_ready((s, k))  # compile + warmup, no transfer
     start = time.perf_counter()
     for _ in range(args.iters):
-      s, k = ba_iteration(s, k, ba.a, ba.cfactor, ba.baseline_fx, intr)
+      s, k = ba_iteration(s, perturb(k), ba.a, ba.cfactor, ba.baseline_fx,
+                          intr)
     jax.block_until_ready((s, k))
     elapsed = time.perf_counter() - start
     rows.append({

@@ -334,25 +334,23 @@ def test_loop_closure_applied_at_bow_scale():
       max_num_ba_iterations_per_keyframe=0,
       initial_keyframe_capacity=8, initial_surfel_capacity=1 << 14,
       parallel_ba=False)  # the test mutates poses synchronously
+  # Real error mechanism: a sensor blackout mid-run (the tracking-failure
+  # gate fires, the pose holds while the camera keeps creeping) — the same
+  # injection the kidnap benchmark uses. The unobserved motion bakes an
+  # offset into every later keyframe; with BA off, only the closure chain
+  # (BoW retrieval -> RANSAC -> refinement -> weak-edge pose graph) can
+  # repair it.
+  blackout = range(40, 56)  # ~16 frames x ~2.6 mm/frame ~= 4 cm offset
+
+  class BlackoutSlam(BadSlam):
+    def _tracking_failure_injected(self, frame_index):
+      return frame_index in blackout
+
   detector = LoopDetector(cfg, cam)
-  slam = BadSlam(cfg, video, loop_detector=detector)
+  slam = BlackoutSlam(cfg, video, loop_detector=detector)
   for i in range(n_away):
     slam.process_frame(i)
-  k = slam.direct_ba.keyframe_count
-  assert k == 35
-
-  # Ramped drift on the tail keyframes (locally consistent neighborhoods,
-  # as real accumulated drift is).
-  drift = 0.08
-  poses = np.asarray(slam.direct_ba.kf.global_T_frame).copy()
-  ramp = {k - 3: 0.25 * drift, k - 2: 0.5 * drift, k - 1: drift}
-  for s, d in ramp.items():
-    poses[s][0, 3] += d
-  slam.direct_ba.kf = slam.direct_ba.kf._replace(
-      global_T_frame=jnp.asarray(poses))
-  slam.base_kf_global_T_frame = poses[k - 1]
-  for s, d in ramp.items():
-    video.frames[2 * s].global_T_frame = poses[s]
+  assert slam.direct_ba.keyframe_count == 35
 
   # Two revisit keyframes: the first warms the temporal-consistency gate,
   # the second must close.
@@ -364,8 +362,14 @@ def test_loop_closure_applied_at_bow_scale():
   applied = [e for e in detector.events if e.applied]
   assert applied, ("closure not applied: "
                    f"{[(e.matched_slot, e.reason) for e in detector.events]}")
-  assert applied[-1].matched_slot <= 2  # matched the start of the run
-
+  # Blackout keyframe edges must be marked low-confidence.
+  from badslam_tpu.slam.pipelined import WEAK_EDGE_WEIGHT
+  weak = [s for s, w in slam.keyframe_edge_weight.items()
+          if w == WEAK_EDGE_WEIGHT]
+  assert weak, "blackout must produce weak odometry edges"
+  # The closures must keep the trajectory consistent end-to-end: the final
+  # revisit frame's pose error stays well under the ~4 cm unobserved
+  # blackout offset (BA is off — closures are the only repair path).
   err = np.linalg.norm(
       video.frames[n_away + 2].global_T_frame[:3, 3] - traj[-1][:3, 3])
-  assert err < 0.5 * drift, f"revisit pose error {err:.3f} m (drift {drift})"
+  assert err < 0.02, f"revisit pose error {err:.3f} m"
