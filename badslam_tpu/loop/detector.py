@@ -562,6 +562,8 @@ class LoopDetector:
         event.reason = f"BA will absorb it (avg {float(res.avg_px):.2f} px)"
       elif not bool(res.consistent):
         event.reason = "refined estimates disagree"
+      elif not bool(res.depth_sane):
+        event.reason = "aligned depth fields disagree"
       else:
         event.reason = "rejected on device"
     self._pending_device_results = []
@@ -646,6 +648,22 @@ class LoopDetector:
                     n_inliers)
 
     cur_T_old_avg = se3_np.average_poses(np.stack(cur_T_old_refined))
+
+    # Depth-sanity gate (beyond the reference; device_closure.py
+    # DEPTH_SANITY_RATIO): the refined alignment's depth fields must agree —
+    # rejects perceptual-aliasing matches (identical texture, different
+    # geometry) that survive the pose-consistency gates.
+    from badslam_tpu.loop import device_closure as dc
+    import jax.numpy as jnp
+    ratio, overlap = dc.alignment_depth_sanity(
+        ba.kf.depth[cur.kf_slot], ba.kf.depth[old.kf_slot],
+        jnp.asarray(se3_np.inverse(cur_T_old_avg)), ba.depth_intr,
+        ba.baseline_fx)
+    if (int(overlap) < dc.DEPTH_SANITY_MIN_OVERLAP
+        or float(ratio) > dc.DEPTH_SANITY_RATIO):
+      return ev(False, f"aligned depth fields disagree "
+                f"(ratio {float(ratio):.2f}, overlap {int(overlap)})",
+                n_inliers)
 
     # "Is BA enough?" reprojection test (loop_detector.cc:624-666).
     cur_T_global_est = cur_T_old_avg @ matched_frame_T_global

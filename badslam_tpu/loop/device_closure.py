@@ -45,6 +45,51 @@ MAX_ANGLE_DIFFERENCE = 3.14159265 / 180.0 * 10.0  # loop_detector.cc:577
 MAX_EUCLIDEAN_DISTANCE = 0.02                     # loop_detector.cc:578
 AVERAGE_PIXEL_DISTANCE_THRESHOLD = 1.0            # loop_detector.cc:655
 
+# Closure depth-sanity gate (beyond the reference): mean |depth mismatch| of
+# the refined alignment, normalized by the propagated-stddev model
+# sigma(z) = z^2 / (baseline*fx) (cost_function.cuh:81-88). A TRUE closure
+# refines to mm-cm alignment (ratio <= ~0.2); a perceptual-aliasing false
+# match (identical texture, different geometry) converges onto incompatible
+# depth fields whose residual mismatch is the scene's structure scale
+# (measured ~1.3-1.5 on the aliasing stress world, where 10 of 388 aliased
+# candidates otherwise survived RANSAC + the three-way refinement
+# consistency gates — benchmarks/loop_retrieval_eval.py --full_verify).
+DEPTH_SANITY_RATIO = 0.5
+DEPTH_SANITY_MIN_OVERLAP = 200
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def alignment_depth_sanity(cur_depth, old_depth, old_T_cur, depth_intr,
+                           baseline_fx, max_depth: float = 100.0):
+  """(mean |dz| / sigma(z), overlap count) of warping cur's depth into the
+  old keyframe under the refined relative pose. Nearest-neighbor sampling —
+  a sanity gate, not a residual term."""
+  h, w = cur_depth.shape
+  fx, fy, cx, cy = (depth_intr[0], depth_intr[1], depth_intr[2],
+                    depth_intr[3])
+  ys, xs = jnp.mgrid[0:h, 0:w]
+  z = cur_depth
+  valid = (z > 0) & (z < max_depth)
+  px = (xs + 0.5 - cx) / fx * z
+  py = (ys + 0.5 - cy) / fy * z
+  p = jnp.stack([px, py, z], axis=-1)
+  q = p @ old_T_cur[:3, :3].T + old_T_cur[:3, 3]
+  qz = q[..., 2]
+  front = qz > 1e-3
+  qzs = jnp.where(front, qz, 1.0)
+  u = q[..., 0] / qzs * fx + cx - 0.5
+  v = q[..., 1] / qzs * fy + cy - 0.5
+  ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+  vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+  inb = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
+  sampled = old_depth[vi, ui]
+  ok = valid & front & inb & (sampled > 0) & (sampled < max_depth)
+  sigma = jnp.maximum(sampled * sampled / baseline_fx, 1e-4)
+  ratio = jnp.abs(qz - sampled) / sigma
+  n = jnp.sum(ok)
+  mean_ratio = jnp.sum(jnp.where(ok, ratio, 0.0)) / jnp.maximum(n, 1)
+  return mean_ratio, n
+
 
 class DeviceClosureResult(NamedTuple):
   global_T_frame: jax.Array  # (K, 4, 4) new keyframe poses
@@ -52,6 +97,7 @@ class DeviceClosureResult(NamedTuple):
   ba_enough: jax.Array       # () bool — candidate rejected as absorbable
   consistent: jax.Array      # () bool — refinements mutually consistent
   avg_px: jax.Array          # () float — mean keypoint reprojection motion
+  depth_sane: jax.Array      # () bool — aligned depth fields agree
   loop_ei: jax.Array         # (L,) accumulated applied-loop-edge buffer
   loop_ej: jax.Array         # (L,)
   loop_Z: jax.Array          # (L, 4, 4)
@@ -144,7 +190,16 @@ def verify_and_close(
   avg_px = jnp.sum(jnp.where(both, dist, 0.0)) / jnp.maximum(n_both, 1)
   ba_enough = (n_both >= 5) & (avg_px <= AVERAGE_PIXEL_DISTANCE_THRESHOLD)
 
-  applied = consistent & jnp.logical_not(ba_enough)
+  # Depth-sanity gate: the refined alignment's depth fields must agree
+  # (rejects perceptual-aliasing matches that survive the pose-consistency
+  # gates; see DEPTH_SANITY_RATIO above).
+  sanity_ratio, overlap = alignment_depth_sanity(
+      g(kf.depth, cur_slot), g(kf.depth, old_slot),
+      se3.inverse(cur_T_old_avg), depth_intr, baseline_fx)
+  depth_sane = ((overlap >= DEPTH_SANITY_MIN_OVERLAP)
+                & (sanity_ratio <= DEPTH_SANITY_RATIO))
+
+  applied = consistent & depth_sane & jnp.logical_not(ba_enough)
 
   # Pose graph: odometry edges (current relative poses => zero residual)
   # weighted by the front-end's per-edge tracking confidence, every
@@ -172,6 +227,6 @@ def verify_and_close(
 
   return DeviceClosureResult(
       global_T_frame=new_poses, applied=applied, ba_enough=ba_enough,
-      consistent=consistent, avg_px=avg_px,
+      consistent=consistent, avg_px=avg_px, depth_sane=depth_sane,
       loop_ei=loop_ei, loop_ej=loop_ej, loop_Z=loop_Z, loop_w=loop_w,
       loop_count=loop_count)

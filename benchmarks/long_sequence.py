@@ -210,6 +210,9 @@ def main():
   from badslam_tpu.eval import ate_rmse
   from badslam_tpu.io import dataset as dataset_io
   from badslam_tpu.slam.system import BadSlam
+  from badslam_tpu.utils.compile_cache import enable_compile_cache
+  enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), ".jax_cache"))
 
   # Render the dataset in a SUBPROCESS: the renderer is jax code whose
   # readbacks would permanently drop THIS process's tunnel dispatch into
@@ -273,6 +276,8 @@ def main():
     t_warm = time.perf_counter()
     slam.prewarm(max_ba_keyframes=n // max(1, args.keyframe_interval) + 1)
     report["prewarm_s"] = round(time.perf_counter() - t_warm, 1)
+    report["prewarm_breakdown"] = getattr(slam, "last_prewarm_breakdown",
+                                          None)
     print(f"prewarm: {report['prewarm_s']} s", flush=True)
   report["trajectory"] = {"radius_m": args.radius, "loops": args.loops}
   if args.drift > 0:
@@ -284,10 +289,15 @@ def main():
     report["blackout_frames"] = blackout_frames
 
   def drain():
-    """Wait for all queued device work (no host transfer)."""
+    """Wait for all queued device work (no host transfer). In concurrent-BA
+    mode the BA thread dispatches into its own program order, so waiting on
+    the tracking stream's traj_rel alone would NOT cover BA execution —
+    block on the BA-side state too (still transfer-free)."""
     if args.pipelined:
       import jax
       jax.block_until_ready(slam._pl.traj_rel)
+      if args.concurrent_ba:
+        jax.block_until_ready(slam.direct_ba.kf.global_T_frame)
 
   # Steady-state measurement: drain the device queue every 50 frames and
   # take the MEDIAN span cost over the second half of the run — robust to
@@ -344,14 +354,19 @@ def main():
   report["per_frame"] = dict(
       _percentiles(frame_seconds), drained=bool(args.per_frame_drain))
   report["per_frame_steady"] = _percentiles(frame_seconds[n // 2:])
+  loop_elapsed = time.perf_counter() - t0
+  report["fps"] = round(n / loop_elapsed, 2)
+  t_fin = time.perf_counter()
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
     slam.finalize_pipelined()
   slam.stop_ba_thread_and_wait()
   if slam.loop_detector is not None:
     slam.loop_detector.request_exit_and_wait()
-  elapsed = time.perf_counter() - t0
-  report["fps"] = round(n / elapsed, 2)
+  # Post-loop cost (BA-queue drain, device-closure resolution readbacks,
+  # trajectory materialization, thread shutdown) — reported separately so
+  # the frame-loop fps is not diluted by one-time finalization.
+  report["finalize_s"] = round(time.perf_counter() - t_fin, 2)
   report["keyframes"] = slam.direct_ba.keyframe_count
   report["surfels"] = slam.direct_ba.surfel_count
 
