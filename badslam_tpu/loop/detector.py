@@ -459,6 +459,7 @@ class LoopDetector:
     applies the pose graph without any device->host transfer. The returned
     event carries reason 'device-pending' until resolve_pending_device_events
     reads the on-device outcome (called by finalize_pipelined)."""
+    import jax
     import jax.numpy as jnp
     from badslam_tpu.loop import device_closure
     ev = lambda applied, reason, inl=0: LoopClosureEvent(
@@ -500,24 +501,39 @@ class LoopDetector:
     width, height = ba.depth_size
     # Per-keyframe odometry-edge confidence (device; transfer-free) and the
     # accumulated applied-loop-edge buffer.
-    slam._pl.ensure_edge_capacity(ba.kf.capacity)
+    slam._pl.ensure_edge_capacity(ba.kf.capacity, mesh=ba.mesh)
     if self._device_loop_edges is None:
       lc = device_closure.LOOP_EDGE_BUCKET
       self._device_loop_edges = (
           jnp.zeros((lc,), jnp.int32), jnp.zeros((lc,), jnp.int32),
           jnp.tile(jnp.eye(4, dtype=jnp.float32), (lc, 1, 1)),
           jnp.zeros((lc,), jnp.float32), jnp.asarray(0, jnp.int32))
+      if ba.mesh is not None:
+        # Same placement rule as PipelinedState.ensure_edge_capacity: these
+        # feed the SPMD closure program alongside mesh-placed inputs.
+        from badslam_tpu.parallel import sharded_ba
+        self._device_loop_edges = jax.device_put(
+            self._device_loop_edges, sharded_ba.replicated(ba.mesh))
     loop_ei, loop_ej, loop_Z, loop_w, loop_count = self._device_loop_edges
-    res = device_closure.verify_and_close(
-        ba.kf, ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
-        jnp.asarray(cur.kf_slot, jnp.int32), jnp.asarray(old.kf_slot, jnp.int32),
+    small = (
+        jnp.asarray(cur.kf_slot, jnp.int32), jnp.asarray(old.kf_slot,
+                                                         jnp.int32),
         jnp.asarray(nxt, jnp.int32), jnp.asarray(prv, jnp.int32),
         jnp.asarray(old_T_cur, jnp.float32),
         jnp.asarray(pts), jnp.asarray(mask),
         jnp.asarray([float(self.camera.fx), float(self.camera.fy),
                      float(self.camera.cx), float(self.camera.cy)],
                     jnp.float32),
-        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w))
+    if ba.mesh is not None:
+      # Every input of the SPMD closure program must be placed over the
+      # mesh; a device-0-committed array deadlocks the collective
+      # rendezvous inside the program.
+      from badslam_tpu.parallel import sharded_ba
+      small = jax.device_put(small, sharded_ba.replicated(ba.mesh))
+    res = device_closure.verify_and_close(
+        ba.kf, ba.depth_intr, ba.a, ba.cfactor, ba.baseline_fx,
+        *small,
         slam._pl.edge_weight,
         loop_ei, loop_ej, loop_Z, loop_w, loop_count,
         width=width, height=height, cell_size=ba.cell_size,
@@ -546,7 +562,29 @@ class LoopDetector:
     provisionally counted as ignored by add_keyframe."""
     if not self._pending_device_results:
       return
-    pending = iter(self._pending_device_results)
+    log.info(f"resolving {len(self._pending_device_results)} pending "
+             "device closure results")
+    # ONE batched readback for all pending outcomes: in the tunnel's
+    # post-readback sync mode each separate device->host read costs a full
+    # round trip (measured: finalize dominated by per-event scalar reads),
+    # so stack the scalars on device first.
+    import jax
+    import jax.numpy as jnp
+    rs = self._pending_device_results
+    batched = np.asarray(jnp.stack(
+        [jnp.stack([r.applied.astype(jnp.float32),
+                    r.ba_enough.astype(jnp.float32),
+                    r.consistent.astype(jnp.float32),
+                    r.depth_sane.astype(jnp.float32),
+                    r.avg_px]) for r in rs]))
+
+    class _Resolved:
+      def __init__(self, row):
+        self.applied, self.ba_enough, self.consistent, self.depth_sane = (
+            bool(row[0]), bool(row[1]), bool(row[2]), bool(row[3]))
+        self.avg_px = float(row[4])
+
+    pending = iter([_Resolved(row) for row in batched])
     for i, event in enumerate(self.events):
       if event.reason != "device-pending":
         continue
@@ -619,6 +657,7 @@ class LoopDetector:
         return ev(False, "no second keyframe for verification", n_inliers)
     neighbors.append(prv)
 
+    import jax
     import jax.numpy as jnp
     # Host-side 4x4 pose algebra stays in numpy (se3_np): this runs on the
     # BA/detection threads concurrently with the main thread's device work.
@@ -654,6 +693,7 @@ class LoopDetector:
     # rejects perceptual-aliasing matches (identical texture, different
     # geometry) that survive the pose-consistency gates.
     from badslam_tpu.loop import device_closure as dc
+    import jax
     import jax.numpy as jnp
     ratio, overlap = dc.alignment_depth_sanity(
         ba.kf.depth[cur.kf_slot], ba.kf.depth[old.kf_slot],

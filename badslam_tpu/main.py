@@ -229,9 +229,13 @@ def build_mesh(n_devices: int):
   import os as _os
   flags = _os.environ.get("XLA_FLAGS", "")
   if "xla_force_host_platform_device_count" not in flags:
-    _os.environ["XLA_FLAGS"] = (
-        flags + f" --xla_force_host_platform_device_count={n_devices}"
-    ).strip()
+    flags = flags + f" --xla_force_host_platform_device_count={n_devices}"
+  if "collective_call_terminate_timeout" not in flags:
+    # Virtual-device collectives on a small loaded host can starve past
+    # XLA:CPU's 40 s rendezvous termination; prefer slow over aborted.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+  _os.environ["XLA_FLAGS"] = flags.strip()
   import jax
   from jax.sharding import Mesh
   from badslam_tpu.parallel import sharded_ba

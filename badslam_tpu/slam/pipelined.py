@@ -75,13 +75,20 @@ class PipelinedState:
     # instead of spreading it along the whole trajectory.
     self.edge_weight = None  # lazily sized to kf capacity
 
-  def ensure_edge_capacity(self, capacity: int):
+  def ensure_edge_capacity(self, capacity: int, mesh=None):
     if self.edge_weight is None:
       self.edge_weight = jnp.ones((capacity,), jnp.float32)
     elif self.edge_weight.shape[0] < capacity:
       self.edge_weight = jnp.concatenate(
           [self.edge_weight,
            jnp.ones((capacity - self.edge_weight.shape[0],), jnp.float32)])
+    if mesh is not None:
+      # Distributed back-end: this array feeds SPMD programs whose other
+      # inputs are placed over the mesh; a device-0-committed array there
+      # deadlocks the collective rendezvous (7-of-8 threads arrive).
+      from badslam_tpu.parallel import sharded_ba
+      self.edge_weight = jax.device_put(self.edge_weight,
+                                        sharded_ba.replicated(mesh))
 
 
 # Pose-graph weight of an odometry edge whose tracking failed (see

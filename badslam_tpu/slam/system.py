@@ -515,7 +515,7 @@ class BadSlam:
           # replay the growth concat + record at each capacity here (the
           # growth loop bypasses _create_keyframe_pipelined).
           from badslam_tpu.slam import pipelined
-          warm._pl.ensure_edge_capacity(ba_w.kf.capacity)
+          warm._pl.ensure_edge_capacity(ba_w.kf.capacity, mesh=ba_w.mesh)
           warm._pl.edge_weight, warm._pl.fail_acc = \
               pipelined.record_edge_weight(
                   warm._pl.edge_weight, jnp.asarray(count - 1, jnp.int32),
@@ -726,6 +726,21 @@ class BadSlam:
         active_keyframe_window_end=opts["k"] - 1,
         increase_ba_iteration_count=False,
         transfer_free=True)
+    # Scheme-end delete cadence: with increase_ba_iteration_count=False the
+    # counter-gated end tasks only ever ran ONCE, so the min-observation /
+    # free-space-violation delete pass never re-ran during a pipelined run —
+    # after a loop-closure repair moves keyframes, their orphaned surfels
+    # (beyond the association band) survived as permanent outliers
+    # (measured: 21k of 128k surfels >2 cm off-surface on the kidnap
+    # protocol). Run the delete+radius pass (no merge — that is K programs)
+    # every max_num_ba_iterations_per_keyframe iterations, the reference's
+    # per-scheme cadence, transfer-free.
+    if cfg.do_surfel_updates:
+      self._pl_ba_sched_count = getattr(self, "_pl_ba_sched_count", 0) + 1
+      if (self._pl_ba_sched_count
+          % max(1, cfg.max_num_ba_iterations_per_keyframe) == 0):
+        self.direct_ba.perform_ba_scheme_end_tasks(
+            do_surfel_updates=False, transfer_free=True)
 
   def _pl_ba_thread_main(self):
     """Concurrent transfer-free BA worker (pipelined_concurrent_ba): the
@@ -827,7 +842,7 @@ class BadSlam:
     # tracking-failure gate fired since the last keyframe (constant-position
     # fallback — this edge is a guess). Consumed by the device-closure pose
     # graph so a post-blackout loop closure localizes its correction here.
-    self._pl.ensure_edge_capacity(ba.kf.capacity)
+    self._pl.ensure_edge_capacity(ba.kf.capacity, mesh=ba.mesh)
     self._pl.edge_weight, self._pl.fail_acc = pipelined.record_edge_weight(
         self._pl.edge_weight, jnp.asarray(idx, jnp.int32), self._pl.fail_acc)
     if ba.keyframe_count == 1:
@@ -885,15 +900,22 @@ class BadSlam:
     run's only mandatory device->host transfers) into rgbd_video."""
     if not self._pipelined:
       return
+    import time as _time
     from badslam_tpu.slam import pipelined
+    t0 = _time.perf_counter()
     self._drain_pl_ba()  # final poses must include queued BA iterations
+    t1 = _time.perf_counter()
     if self.loop_detector is not None:
       self.loop_detector.resolve_pending_device_events()
+    t2 = _time.perf_counter()
     poses = pipelined.finalize(
         self._pl, self.direct_ba.kf.global_T_frame,
         self.keyframe_frame_indices, self.last_frame_index)
     for i, p in poses.items():
       self.rgbd_video.frames[i].global_T_frame = p
+    log.info(f"finalize_pipelined: ba_drain {t1 - t0:.1f}s, "
+             f"device_events {t2 - t1:.1f}s, "
+             f"trajectory {_time.perf_counter() - t2:.1f}s")
 
   def preprocess_frame(self, frame_index: int) -> ProcessedFrame:
     cfg = self.config

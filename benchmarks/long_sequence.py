@@ -130,11 +130,29 @@ def make_kidnapped_slam(slam_cls, at_frame, blackout_frames):
   BA (no associations bridge the jump; the association pull-in band is
   Tukey 10 x sigma ~= 0.25 m at 1 m depth) — only the detection -> RANSAC
   -> refinement -> pose-graph -> trajectory-deformation chain repairs it.
+
+  Keyframe creation and loop-detection are SUPPRESSED inside the blackout:
+  a covered lens yields unusable frames, so no map data exists for the
+  window. (Measured at 640x480: if blackout keyframes ARE created from the
+  real images at held poses, each is only ~0.03-0.3 m off — inside or at
+  the association band — and frame-to-model BA incrementally re-snaps the
+  whole chain, absorbing a 0.6 m kidnap to 4% ATE with zero closures.
+  Genuinely impressive, but it would leave the closure path untested.)
   """
 
   class KidnappedSlam(slam_cls):
     def _tracking_failure_injected(self, frame_index):
       return at_frame <= frame_index < at_frame + blackout_frames
+
+    def create_keyframe(self, frame_index, processed):
+      if self._tracking_failure_injected(frame_index):
+        return
+      super().create_keyframe(frame_index, processed)
+
+    def _create_keyframe_pipelined(self, frame_index, processed):
+      if self._tracking_failure_injected(frame_index):
+        return
+      super()._create_keyframe_pipelined(frame_index, processed)
 
   return KidnappedSlam
 
@@ -197,8 +215,9 @@ def main():
     args.loops = 1.15 if biased else 2.0
   if biased and args.dataset == p.get_default("dataset"):
     args.dataset += "_excursion"
-  if args.occlusions and args.dataset.startswith("/tmp/badslam_long_seq"):
-    args.dataset += "_occl"
+  if (args.occlusions and args.dataset.startswith("/tmp/badslam_long_seq")
+      and not args.dataset.endswith("_occl")):  # idempotent: the generate
+    args.dataset += "_occl"                     # subprocess re-parses args
 
   if args.generate_only:
     ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
@@ -359,7 +378,11 @@ def main():
   t_fin = time.perf_counter()
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
+    print("finalizing (BA drain + device-event resolution + trajectory "
+          "readback)...", flush=True)
     slam.finalize_pipelined()
+  print(f"finalize: {time.perf_counter() - t_fin:.1f} s; stopping threads...",
+        flush=True)
   slam.stop_ba_thread_and_wait()
   if slam.loop_detector is not None:
     slam.loop_detector.request_exit_and_wait()
@@ -391,7 +414,20 @@ def main():
   # surfels, or a geometry-GN regression, shows up here and not in ATE.
   from badslam_tpu.loop.ransac import umeyama_alignment
   from badslam_tpu.utils import synthetic
-  T_align = umeyama_alignment(est, gt)
+  if args.kidnap > 0:
+    # Kidnap mode: align the MAP on the (repaired) KEYFRAME poses, not the
+    # full frame trajectory — the held-pose blackout frames carry an
+    # unavoidable residual that would bias the rigid fit and read as map
+    # error; what the map gate must measure is whether the surfels
+    # re-converged onto the corrected keyframes (round-3 verdict item 5).
+    kf_fi = np.asarray(slam.keyframe_frame_indices)
+    kf_valid = np.asarray(slam.direct_ba.kf.valid)[: len(kf_fi)]
+    kf_est = np.asarray(
+        slam.direct_ba.kf.global_T_frame)[: len(kf_fi), :3, 3][kf_valid]
+    kf_gt = gt[kf_fi[kf_valid]]
+    T_align = umeyama_alignment(kf_est, kf_gt)
+  else:
+    T_align = umeyama_alignment(est, gt)
   valid_s = np.asarray(slam.direct_ba.surfels.valid)
   spos = np.asarray(slam.direct_ba.surfels.pos)[valid_s]
   boxes = synthetic.occlusion_boxes(5) if args.occlusions else None
@@ -432,8 +468,13 @@ def main():
     # Actual unobserved offset: the GT displacement over the blackout
     # window (the held pose misses exactly this motion).
     gt_ts = sorted(gt_raw.keys())
+    # The pose re-anchors at the first keyframe AFTER the blackout (no
+    # keyframes exist inside it); the unobserved motion spans up to there.
+    recovery = kidnap_at + blackout_frames
+    interval = max(1, args.keyframe_interval)
+    recovery += (-recovery) % interval
     p_start = gt_raw[gt_ts[min(kidnap_at, len(gt_ts) - 1)]]
-    p_end = gt_raw[gt_ts[min(kidnap_at + blackout_frames, len(gt_ts) - 1)]]
+    p_end = gt_raw[gt_ts[min(recovery, len(gt_ts) - 1)]]
     offset = float(np.linalg.norm(p_end - p_start))
     report["kidnap_offset_m"] = round(offset, 4)
     # The weak-edge pose graph (odometry edges formed while the gate fired

@@ -309,7 +309,11 @@ def config4_multichip():
   import subprocess
   env = {**os.environ, "JAX_PLATFORMS": "cpu",
          "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                       + " --xla_force_host_platform_device_count=8").strip()}
+                       + " --xla_force_host_platform_device_count=8"
+                       + " --xla_cpu_collective_call_warn_stuck_timeout_"
+                         "seconds=120"
+                       + " --xla_cpu_collective_call_terminate_timeout_"
+                         "seconds=900").strip()}
   env.pop("PALLAS_AXON_POOL_IPS", None)  # axon plugin slows CPU compiles ~6x
   root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
   r = subprocess.run(
@@ -353,7 +357,10 @@ def config6_mesh_system():
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
                          + " --xla_force_host_platform_device_count=8"
-                         ).strip()}
+                         + " --xla_cpu_collective_call_warn_stuck_timeout_"
+                           "seconds=120"
+                         + " --xla_cpu_collective_call_terminate_timeout_"
+                           "seconds=900").strip()}
     env.pop("PALLAS_AXON_POOL_IPS", None)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,

@@ -22,9 +22,14 @@ def pytest_configure(config):
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-      env["XLA_FLAGS"] = (
-          flags + " --xla_force_host_platform_device_count=8"
-      ).strip()
+      flags = flags + " --xla_force_host_platform_device_count=8"
+    if "collective_call_terminate_timeout" not in flags:
+      # Virtual 8-device collectives on a small loaded host can starve past
+      # XLA:CPU's default 40 s rendezvous termination (observed under
+      # parallel pytest + benchmark load: "only 6 of 8 arrived" aborts).
+      flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+    env["XLA_FLAGS"] = flags.strip()
     # Restore the real stdout/stderr fds before replacing the process, else
     # the new pytest writes into the old capture temp files.
     capman = config.pluginmanager.getplugin("capturemanager")
@@ -39,9 +44,11 @@ def pytest_configure(config):
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-  os.environ["XLA_FLAGS"] = (
-      flags + " --xla_force_host_platform_device_count=8"
-  ).strip()
+  flags = flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+  flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
