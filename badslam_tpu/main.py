@@ -255,12 +255,6 @@ def run(args) -> int:
   from badslam_tpu.slam.system import BadSlam
   from badslam_tpu.utils import logging as log
   from badslam_tpu.utils.timing import Timing
-  # Persistent jit cache: second runs of the same shapes skip the remote
-  # compile service entirely (the prewarm then costs seconds, not minutes).
-  from badslam_tpu.utils.compile_cache import enable_compile_cache
-  import os as _os
-  enable_compile_cache(_os.path.join(
-      _os.path.expanduser("~"), ".cache", "badslam_tpu_jax"))
 
   if args.log_level:
     log.set_level(args.log_level)
@@ -278,6 +272,14 @@ def run(args) -> int:
       log.info("Using native prefetching data loader")
 
   mesh = build_mesh(args.mesh_devices)
+  # Persistent jit cache: second runs of the same shapes skip the remote
+  # compile service entirely (prewarm seconds instead of minutes). Enabled
+  # AFTER build_mesh so the virtual-multi-device guard in
+  # enable_compile_cache sees the forced device-count flag.
+  from badslam_tpu.utils.compile_cache import enable_compile_cache
+  import os as _os
+  enable_compile_cache(_os.path.join(
+      _os.path.expanduser("~"), ".cache", "badslam_tpu_jax"))
   if mesh is not None and not args.quiet:
     log.info(f"Distributed back-end over {args.mesh_devices} devices "
              f"({mesh.devices.flat[0].platform})")

@@ -737,7 +737,15 @@ class BadSlam:
     # per-scheme cadence, transfer-free.
     if cfg.do_surfel_updates:
       self._pl_ba_sched_count = getattr(self, "_pl_ba_sched_count", 0) + 1
-      if (self._pl_ba_sched_count
+      # Virtual-CPU-mesh caveat: interleaving this extra SPMD program with
+      # the frame loop's collectives deadlocks XLA:CPU's in-process
+      # rendezvous (reproduced deterministically; TPU collectives use PJRT
+      # and are unaffected) — skip the cadence there (validation meshes
+      # only; single-device and real-TPU-mesh runs keep it).
+      mesh_on_cpu = (self.direct_ba.mesh is not None
+                     and jax.default_backend() == "cpu")
+      if (not mesh_on_cpu
+          and self._pl_ba_sched_count
           % max(1, cfg.max_num_ba_iterations_per_keyframe) == 0):
         self.direct_ba.perform_ba_scheme_end_tasks(
             do_surfel_updates=False, transfer_free=True)
@@ -905,17 +913,22 @@ class BadSlam:
     t0 = _time.perf_counter()
     self._drain_pl_ba()  # final poses must include queued BA iterations
     t1 = _time.perf_counter()
-    if self.loop_detector is not None:
-      self.loop_detector.resolve_pending_device_events()
-    t2 = _time.perf_counter()
+    # Trajectory FIRST: the run's first device->host read performs the
+    # tunnel's speculation->sync transition, and reading a plain live
+    # array (traj_rel) transitions reliably; making the first read touch
+    # the retained mid-run closure-result buffers instead has been seen to
+    # wedge the tunnel indefinitely at 2000-frame scale.
     poses = pipelined.finalize(
         self._pl, self.direct_ba.kf.global_T_frame,
         self.keyframe_frame_indices, self.last_frame_index)
     for i, p in poses.items():
       self.rgbd_video.frames[i].global_T_frame = p
+    t2 = _time.perf_counter()
+    if self.loop_detector is not None:
+      self.loop_detector.resolve_pending_device_events()
     log.info(f"finalize_pipelined: ba_drain {t1 - t0:.1f}s, "
-             f"device_events {t2 - t1:.1f}s, "
-             f"trajectory {_time.perf_counter() - t2:.1f}s")
+             f"trajectory {t2 - t1:.1f}s, "
+             f"device_events {_time.perf_counter() - t2:.1f}s")
 
   def preprocess_frame(self, frame_index: int) -> ProcessedFrame:
     cfg = self.config

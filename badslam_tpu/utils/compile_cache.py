@@ -35,10 +35,23 @@ def _host_tag() -> str:
 
 def enable_compile_cache(root_dir: str) -> None:
   """Point jax's persistent compilation cache at ``root_dir`` (TPU) or a
-  host-fingerprinted subdirectory (CPU backend)."""
+  host-fingerprinted subdirectory (CPU backend).
+
+  NOT enabled for virtual multi-device CPU runs
+  (xla_force_host_platform_device_count): deserialized multi-device CPU
+  executables from earlier processes can disagree on collective op ids
+  with freshly-compiled programs sharing the in-process rendezvous space —
+  measured as a permanent all-reduce deadlock ("7 of 8 threads arrived")
+  in the mesh+pipelined CLI run that disappears with a cold cache. The
+  virtual mesh exists for validation, where compile time is secondary; the
+  cache's real payoff is the remote TPU compile service (minutes ->
+  seconds on warm prewarms), which is unaffected."""
   import jax
   platforms = os.environ.get("JAX_PLATFORMS", "") or ""
+  flags = os.environ.get("XLA_FLAGS", "") or ""
   if platforms.strip().lower().startswith("cpu"):
+    if "xla_force_host_platform_device_count" in flags:
+      return
     root_dir = os.path.join(root_dir, _host_tag())
   try:
     jax.config.update("jax_compilation_cache_dir", root_dir)
