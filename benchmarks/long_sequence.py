@@ -381,6 +381,12 @@ def main():
   report["per_frame_steady"] = _percentiles(frame_seconds[n // 2:])
   loop_elapsed = time.perf_counter() - t0
   report["fps"] = round(n / loop_elapsed, 2)
+  # Partial report BEFORE finalize: on the axon tunnel the
+  # speculation->sync transition of very long runs can wedge indefinitely
+  # (observed at 2000 frames), and the loop-side evidence must survive.
+  if args.out:
+    with open(args.out + ".partial", "w") as f:
+      json.dump(report, f, indent=2)
   t_fin = time.perf_counter()
   if args.pipelined:
     # The run's first device->host transfers happen here, after timing.
