@@ -239,6 +239,14 @@ def load_state(path: str, slam) -> None:
   laba = data["last_active_in_ba_iteration"]
   ba.last_active_in_ba_iteration[: len(laba)] = laba
 
+  # Distributed receive (round-4 verdict item 7): a --mesh_devices system
+  # needs the restored arrays RE-PLACED — the np.load -> jnp.asarray arrays
+  # above are single-device-committed, and feeding them into the SPMD
+  # programs would miscompile shardings / stall the collective rendezvous.
+  # _mesh_place shards the surfel store over the mesh's surfel axis and
+  # replicates keyframes + calibration (no-op without a mesh).
+  ba._mesh_place()
+
   # Pipelined resume: the device state machine restarts constant-position
   # from the restored base keyframe (snapshots don't carry the device
   # history; an identity entry matches the motion-model reset at keyframe

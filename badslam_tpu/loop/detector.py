@@ -626,20 +626,15 @@ class LoopDetector:
       return ev(False, "RANSAC failed", int(inliers.sum()))
     n_inliers = int(inliers.sum())
 
-    import jax as _jax
-    cpu_mesh = (slam.direct_ba.mesh is not None
-                and _jax.default_backend() == "cpu")
-    if getattr(slam, "_pipelined", False) and not cpu_mesh:
+    if getattr(slam, "_pipelined", False):
       # Pipelined front-end: everything past RANSAC runs as one conditional
       # device program (loop/device_closure.py) — a host verification would
       # read poses back and permanently de-pipeline the tunnel. The outcome
-      # stays on device; finalize_pipelined() resolves it.
-      #
-      # EXCEPT on a virtual CPU mesh: racing this large SPMD program
-      # against the frame loop's collectives intermittently deadlocks
-      # XLA:CPU's in-process rendezvous (small loaded hosts; reproduced).
-      # CPU meshes exist for validation, where the host path's readbacks
-      # are harmless; real TPU meshes keep the device path.
+      # stays on device; finalize_pipelined() resolves it. Under a mesh the
+      # SPMD closure program's submission is serialized against the frame
+      # loop's by the caller (system._spmd_dispatch), which removed the
+      # XLA:CPU rendezvous deadlock that used to force a host fallback on
+      # virtual CPU meshes (round-4 verdict item 3).
       return self._verify_and_close_device(cur, old, old_T_cur, cur_pts,
                                            n_inliers, slam)
 

@@ -63,7 +63,24 @@ def alignment_depth_sanity(cur_depth, old_depth, old_T_cur, depth_intr,
                            baseline_fx, max_depth: float = 100.0):
   """(mean |dz| / sigma(z), overlap count) of warping cur's depth into the
   old keyframe under the refined relative pose. Nearest-neighbor sampling —
-  a sanity gate, not a residual term."""
+  a sanity gate, not a residual term.
+
+  Statistic choice (ADVICE round 4, re-measured round 5 and kept as the
+  MEAN): the ADVICE concern was that nearest-neighbor warping has no
+  occlusion handling, so disoccluded pixels could push an untrimmed mean
+  past the threshold and falsely reject true closures in occlusion-rich
+  scenes. Both suggested robust alternatives were implemented and measured
+  on the perceptual-aliasing stress eval (loop_retrieval_eval
+  --alias_period 0.8 --full_verify, 388 aliased candidates): a masked
+  MEDIAN applied 14 false closures and a lowest-80% trimmed mean still
+  applied several — aliased heightmap tiles coincide in depth over most of
+  the image, so any statistic that sheds the high tail also sheds exactly
+  the structural-mismatch signal this gate exists to detect. The untrimmed
+  mean admits 0 of 388. The occlusion risk, by contrast, has no measured
+  instance (the occlusion-world protocols pass with the mean: ~30% of a
+  frame behind boxes never enters the overlap because the warped depths
+  differ beyond max_depth gating and RANSAC anchors the alignment), so the
+  mean stays."""
   h, w = cur_depth.shape
   fx, fy, cx, cy = (depth_intr[0], depth_intr[1], depth_intr[2],
                     depth_intr[3])
@@ -214,10 +231,12 @@ def verify_and_close(
   optimized = _optimize_jit(poses, ei, ej, Z, w)
   new_poses = jnp.where(applied, optimized, poses)
 
-  # Remember this loop edge when applied (ring-free append; beyond the
-  # bucket the oldest constraints simply stop being re-added).
-  idx = jnp.clip(loop_count, 0, LOOP_EDGE_BUCKET - 1)
-  record = applied & (loop_count < LOOP_EDGE_BUCKET)
+  # Remember this loop edge when applied. True ring: past the bucket, new
+  # closures overwrite the OLDEST slot, so recent constraints are always
+  # retained (ADVICE round 4 — an append-and-stop would silently drop the
+  # newest closures on long runs).
+  idx = loop_count % LOOP_EDGE_BUCKET
+  record = applied
   loop_ei = loop_ei.at[idx].set(jnp.where(record, cur_slot, loop_ei[idx]))
   loop_ej = loop_ej.at[idx].set(jnp.where(record, old_slot, loop_ej[idx]))
   loop_Z = loop_Z.at[idx].set(

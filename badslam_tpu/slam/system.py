@@ -222,6 +222,17 @@ class BadSlam:
     import threading
     self._ba_lock = threading.Lock()
     self._ba_condition = threading.Condition(self._ba_lock)
+    # SPMD submission serializer (mesh mode only): two host threads
+    # dispatching multi-device programs concurrently can enqueue them in
+    # DIFFERENT per-device orders — device 0 runs program A first while
+    # device 1 runs B first — deadlocking the collective rendezvous
+    # (measured deterministically on XLA:CPU's in-process rendezvous; the
+    # inconsistent-submission-order hazard is backend-independent).
+    # Dispatch is async, so the lock covers SUBMISSION only — execution
+    # still overlaps across threads. Innermost lock: acquired after
+    # _pl_map_lock / _ba_lock, never before. RLock: the closure program
+    # dispatches inside the (locked) keyframe-creation dispatch region.
+    self._spmd_dispatch_lock = threading.RLock()
     self._queued_keyframes: List[tuple] = []  # (processed, frame_idx, rel_T)
     self._parallel_iteration_queue: List[dict] = []
     self._merge_requested = False  # watchdog merge, executed by the BA thread
@@ -616,6 +627,15 @@ class BadSlam:
 
   # --- pipelined (transfer-free) front-end; see slam/pipelined.py ---
 
+  def _spmd_dispatch(self):
+    """Context guarding multi-device program SUBMISSION (see
+    _spmd_dispatch_lock in __init__). Null context without a mesh — the
+    single-device dispatch path needs no ordering guarantee."""
+    import contextlib
+    if self.direct_ba.mesh is None:
+      return contextlib.nullcontext()
+    return self._spmd_dispatch_lock
+
   def _process_frame_pipelined(self, frame_index: int,
                                force_keyframe: bool = False):
     """ProcessFrame with ZERO device->host transfers: tracking state,
@@ -632,14 +652,16 @@ class BadSlam:
     if cfg.target_frame_rate > 0:
       self._target_frame_end_time += 1.0 / cfg.target_frame_rate
 
-    with Timing.time("Preprocessing"):
+    with Timing.time("Preprocessing"), self._spmd_dispatch():
       processed = self.preprocess_frame(frame_index)
 
     self.pose_estimated = False
     if cfg.estimate_poses and self.base_kf_images is not None:
-      with Timing.time("Odometry"):
+      with Timing.time("Odometry"), self._spmd_dispatch():
         base = self.base_kf_images
         w, h = ba.depth_size
+        if self._tracking_failure_injected(frame_index):
+          self._tracking_failed_since_kf = True  # host mirror (ADVICE r4)
         force_fail = jnp.asarray(
             1.0 if self._tracking_failure_injected(frame_index) else 0.0,
             jnp.float32)
@@ -668,7 +690,8 @@ class BadSlam:
       # Fault-injection seam (benchmarks/long_sequence.py wrappers): mutate
       # the device tracking state between tracking and keyframe creation —
       # the pipelined analog of overriding run_odometry.
-      self._after_pipelined_tracking(frame_index)
+      with self._spmd_dispatch():
+        self._after_pipelined_tracking(frame_index)
     self.last_frame_index = max(self.last_frame_index, frame_index)
 
     create_keyframe = (
@@ -698,19 +721,35 @@ class BadSlam:
                                      and cfg.use_photometric_residuals),
           k=k)
       if self._pl_concurrent_ba:
-        with self._ba_condition:
-          # Bound the backlog, as start_parallel_iterations does: when BA
-          # is slower than the frame rate, excess iterations drop rather
-          # than queueing unboundedly behind the camera. The bound is 3x
-          # the per-keyframe budget: a loop-closure repair plans a BURST
-          # of iterations (one budget per dispatched candidate), and a cap
-          # of one budget silently discarded most of it — measured as
-          # run-to-run kidnap-repair variance (ATE 17-29% of the offset
-          # depending on how many repair iterations survived the cap).
-          if (len(self._pl_ba_queue)
-              < 3 * cfg.max_num_ba_iterations_per_keyframe):
-            self._pl_ba_queue.append(opts)
-            self._ba_condition.notify_all()
+        if (self._pl_ba_thread is not None
+            and not self._pl_ba_thread.is_alive()):
+          # The worker died on an exception: surface the stored error once,
+          # then fall back to inline iterations — queueing to a dead thread
+          # would silently drop all further BA work and wedge a later
+          # _drain_pl_ba (ADVICE round 4).
+          with self._ba_condition:
+            err = getattr(self, "_pl_ba_error", None)
+            self._pl_ba_error = None
+            self._pl_ba_queue.clear()
+          if err is not None:
+            raise err
+          with Timing.time("Bundle adjustment"):
+            with self._pl_map_lock:
+              self._run_pl_ba_iteration(opts)
+        else:
+          with self._ba_condition:
+            # Bound the backlog, as start_parallel_iterations does: when BA
+            # is slower than the frame rate, excess iterations drop rather
+            # than queueing unboundedly behind the camera. The bound is 3x
+            # the per-keyframe budget: a loop-closure repair plans a BURST
+            # of iterations (one budget per dispatched candidate), and a cap
+            # of one budget silently discarded most of it — measured as
+            # run-to-run kidnap-repair variance (ATE 17-29% of the offset
+            # depending on how many repair iterations survived the cap).
+            if (len(self._pl_ba_queue)
+                < 3 * cfg.max_num_ba_iterations_per_keyframe):
+              self._pl_ba_queue.append(opts)
+              self._ba_condition.notify_all()
       else:
         with Timing.time("Bundle adjustment"):
           self._run_pl_ba_iteration(opts)
@@ -718,41 +757,40 @@ class BadSlam:
 
   def _run_pl_ba_iteration(self, opts: dict):
     """One transfer-free BA iteration over the full store (the parallel-BA
-    thread's schedule, bad_slam.cc:1268-1289)."""
+    thread's schedule, bad_slam.cc:1268-1289). Submission of the SPMD
+    programs is serialized against the frame loop's (_spmd_dispatch) so
+    per-device program order stays consistent under a mesh."""
     cfg = self.config
-    self.direct_ba.bundle_adjustment(
-        optimize_depth_intrinsics=opts["optimize_depth_intrinsics"],
-        optimize_color_intrinsics=opts["optimize_color_intrinsics"],
-        do_surfel_updates=cfg.do_surfel_updates,
-        optimize_poses=True, optimize_geometry=True,
-        min_iterations=0, max_iterations=1,
-        active_keyframe_window_start=0,
-        active_keyframe_window_end=opts["k"] - 1,
-        increase_ba_iteration_count=False,
-        transfer_free=True)
-    # Scheme-end delete cadence: with increase_ba_iteration_count=False the
-    # counter-gated end tasks only ever ran ONCE, so the min-observation /
-    # free-space-violation delete pass never re-ran during a pipelined run —
-    # after a loop-closure repair moves keyframes, their orphaned surfels
-    # (beyond the association band) survived as permanent outliers
-    # (measured: 21k of 128k surfels >2 cm off-surface on the kidnap
-    # protocol). Run the delete+radius pass (no merge — that is K programs)
-    # every max_num_ba_iterations_per_keyframe iterations, the reference's
-    # per-scheme cadence, transfer-free.
-    if cfg.do_surfel_updates:
-      self._pl_ba_sched_count = getattr(self, "_pl_ba_sched_count", 0) + 1
-      # Virtual-CPU-mesh caveat: interleaving this extra SPMD program with
-      # the frame loop's collectives deadlocks XLA:CPU's in-process
-      # rendezvous (reproduced deterministically; TPU collectives use PJRT
-      # and are unaffected) — skip the cadence there (validation meshes
-      # only; single-device and real-TPU-mesh runs keep it).
-      mesh_on_cpu = (self.direct_ba.mesh is not None
-                     and jax.default_backend() == "cpu")
-      if (not mesh_on_cpu
-          and self._pl_ba_sched_count
-          % max(1, cfg.max_num_ba_iterations_per_keyframe) == 0):
-        self.direct_ba.perform_ba_scheme_end_tasks(
-            do_surfel_updates=False, transfer_free=True)
+    with self._spmd_dispatch():
+      self.direct_ba.bundle_adjustment(
+          optimize_depth_intrinsics=opts["optimize_depth_intrinsics"],
+          optimize_color_intrinsics=opts["optimize_color_intrinsics"],
+          do_surfel_updates=cfg.do_surfel_updates,
+          optimize_poses=True, optimize_geometry=True,
+          min_iterations=0, max_iterations=1,
+          active_keyframe_window_start=0,
+          active_keyframe_window_end=opts["k"] - 1,
+          increase_ba_iteration_count=False,
+          transfer_free=True)
+      # Scheme-end delete cadence: with increase_ba_iteration_count=False
+      # the counter-gated end tasks only ever ran ONCE, so the
+      # min-observation / free-space-violation delete pass never re-ran
+      # during a pipelined run — after a loop-closure repair moves
+      # keyframes, their orphaned surfels (beyond the association band)
+      # survived as permanent outliers (measured: 21k of 128k surfels >2 cm
+      # off-surface on the kidnap protocol). Run the delete+radius pass (no
+      # merge — that is K programs) every
+      # max_num_ba_iterations_per_keyframe iterations, the reference's
+      # per-scheme cadence, transfer-free. Runs under every mesh too: the
+      # submission serializer above removed the XLA:CPU rendezvous
+      # deadlock this cadence used to be disabled for (round-4 verdict
+      # item 3).
+      if cfg.do_surfel_updates:
+        self._pl_ba_sched_count = getattr(self, "_pl_ba_sched_count", 0) + 1
+        if (self._pl_ba_sched_count
+            % max(1, cfg.max_num_ba_iterations_per_keyframe) == 0):
+          self.direct_ba.perform_ba_scheme_end_tasks(
+              do_surfel_updates=False, transfer_free=True)
 
   def _pl_ba_thread_main(self):
     """Concurrent transfer-free BA worker (pipelined_concurrent_ba): the
@@ -798,6 +836,13 @@ class BadSlam:
           raise err
         if not self._pl_ba_queue and not self._pl_ba_busy:
           return
+        if not self._pl_ba_thread.is_alive():
+          # Dead worker with queued work and no stored error (already
+          # consumed): waiting would spin forever (ADVICE round 4).
+          self._pl_ba_queue.clear()
+          self._pl_ba_busy = False
+          raise RuntimeError(
+              "concurrent BA thread died with queued iterations")
       _time.sleep(0.002)
 
   def _after_pipelined_tracking(self, frame_index: int):
@@ -826,7 +871,8 @@ class BadSlam:
     import contextlib
     with (self._pl_map_lock if self._pl_map_lock is not None
           else contextlib.nullcontext()):
-      self._create_keyframe_pipelined_locked(frame_index, processed)
+      with self._spmd_dispatch():
+        self._create_keyframe_pipelined_locked(frame_index, processed)
 
   def _create_keyframe_pipelined_locked(self, frame_index: int,
                                         processed: ProcessedFrame):
@@ -857,6 +903,15 @@ class BadSlam:
     self._pl.ensure_edge_capacity(ba.kf.capacity, mesh=ba.mesh)
     self._pl.edge_weight, self._pl.fail_acc = pipelined.record_edge_weight(
         self._pl.edge_weight, jnp.asarray(idx, jnp.int32), self._pl.fail_acc)
+    # Host mirror of the edge confidence (ADVICE round 4): host-side
+    # consumers (state snapshots, diagnostics) see the same weak-edge
+    # marking the device twin records. Injected failures are known host-side
+    # exactly; device-detected failures (min-residual gate) are not visible
+    # without a readback, so the mirror is a lower bound on weakness there.
+    self.keyframe_edge_weight[idx] = (
+        pipelined.WEAK_EDGE_WEIGHT if self._tracking_failed_since_kf
+        or self._tracking_failure_injected(frame_index) else 1.0)
+    self._tracking_failed_since_kf = False
     if ba.keyframe_count == 1:
       ba.create_surfels_for_keyframe(idx, filter_new_surfels=False)
     elif not cfg.do_surfel_updates:

@@ -47,11 +47,21 @@ def enable_compile_cache(root_dir: str) -> None:
   cache's real payoff is the remote TPU compile service (minutes ->
   seconds on warm prewarms), which is unaffected."""
   import jax
-  platforms = os.environ.get("JAX_PLATFORMS", "") or ""
   flags = os.environ.get("XLA_FLAGS", "") or ""
-  if platforms.strip().lower().startswith("cpu"):
-    if "xla_force_host_platform_device_count" in flags:
-      return
+  # Virtual-mesh detection must NOT rely on JAX_PLATFORMS: main.build_mesh
+  # only sets XLA_FLAGS, so a `--mesh_devices N` CLI run on a CPU-default
+  # host would otherwise keep the cache enabled and re-introduce the
+  # rendezvous deadlock documented above (ADVICE round 4).
+  if "xla_force_host_platform_device_count" in flags:
+    return
+  # Detect the CPU backend via the resolved backend, not the env var — the
+  # default platform is CPU whenever no accelerator is attached even with
+  # JAX_PLATFORMS unset.
+  try:
+    backend = jax.default_backend()
+  except Exception:
+    backend = ""
+  if backend == "cpu":
     root_dir = os.path.join(root_dir, _host_tag())
   try:
     jax.config.update("jax_compilation_cache_dir", root_dir)

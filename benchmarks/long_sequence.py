@@ -39,7 +39,8 @@ import numpy as np
 
 
 def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0,
-                   occlusions=False):
+                   occlusions=False, texture_period=None,
+                   blackout_windows=None):
   from badslam_tpu.utils import tum_synth
   w, h = (int(v) for v in size.split("x"))
   # Default: TWO full circles of a small (0.25 m) orbit — the entire second
@@ -55,7 +56,9 @@ def ensure_dataset(path, frames, size, noise=False, radius=0.25, loops=2.0,
   traj = tum_synth.loop_trajectory(frames, radius=radius, loops=loops)
   return tum_synth.write_tum_dataset(path, traj, width=w, height=h,
                                      sensor_noise=noise,
-                                     occlusions=occlusions)
+                                     occlusions=occlusions,
+                                     texture_period=texture_period,
+                                     blackout_windows=blackout_windows)
 
 
 def make_biased_slam(slam_cls, bias_m_for_frame):
@@ -116,9 +119,9 @@ def make_biased_slam(slam_cls, bias_m_for_frame):
   return BiasedSlam
 
 
-def make_kidnapped_slam(slam_cls, at_frame, blackout_frames):
-  """Wrap a BadSlam subclass so the sensor BLACKS OUT for
-  `blackout_frames` frames starting at `at_frame` — the realistic kidnap:
+def make_kidnapped_slam(slam_cls, windows):
+  """Wrap a BadSlam subclass so the sensor BLACKS OUT during each
+  (start, end) frame window in `windows` — the realistic kidnap:
   a covered/obstructed camera makes the tracking-failure gate fire, the
   pose holds (constant-position fallback) while the real camera keeps
   moving, and the accumulated unobserved motion bakes into every later
@@ -148,7 +151,7 @@ def make_kidnapped_slam(slam_cls, at_frame, blackout_frames):
 
   class KidnappedSlam(slam_cls):
     def _tracking_failure_injected(self, frame_index):
-      return at_frame <= frame_index < at_frame + blackout_frames
+      return any(s <= frame_index < e for (s, e) in windows)
 
     def create_keyframe(self, frame_index, processed):
       if self._tracking_failure_injected(frame_index):
@@ -198,6 +201,29 @@ def main():
                       "beyond the association band) so a loop closure must "
                       "actually FIRE and repair it via the weak-edge pose "
                       "graph; also switches to the wide-excursion trajectory")
+  p.add_argument("--image_blackout", action="store_true",
+                 help="with --kidnap: the blackout window is rendered as "
+                      "REAL black frames (zero rgb, invalid depth) in the "
+                      "dataset, and the system runs UNMODIFIED — no "
+                      "keyframe suppression, no force_fail seam; the "
+                      "tracking-failure gate, weak-edge marking, and "
+                      "repair must all fire through their production "
+                      "mechanisms (round-4 verdict item 6a)")
+  p.add_argument("--double_kidnap", action="store_true",
+                 help="with --kidnap: TWO blackout windows (at 35%% and "
+                      "65%% of the run); gates require >=2 applied "
+                      "closures — exercises the accumulated loop-edge "
+                      "buffer (round-4 verdict item 6b)")
+  p.add_argument("--alias_period", type=float, default=0.0,
+                 help="perceptual-aliasing world: the texture repeats with "
+                      "this period (m) while geometry stays unique; with "
+                      "--kidnap this puts the depth-sanity closure gate "
+                      "under maximum pressure (round-4 verdict item 6c). "
+                      "Gates additionally require ZERO false applied "
+                      "closures (applied pairs must be truly co-located)")
+  p.add_argument("--blackout_windows", default="",
+                 help="internal (generate subprocess): comma-separated "
+                      "start:end frame windows rendered as black frames")
   p.add_argument("--per_frame_drain", action="store_true",
                  help="drain the device queue after every frame so per-frame"
                       " times cover device execution (latency protocol; "
@@ -224,11 +250,22 @@ def main():
   if (args.occlusions and args.dataset.startswith("/tmp/badslam_long_seq")
       and not args.dataset.endswith("_occl")):  # idempotent: the generate
     args.dataset += "_occl"                     # subprocess re-parses args
+  if args.dataset.startswith("/tmp/badslam_long_seq"):
+    if args.image_blackout and not args.dataset.endswith("_imgblk"):
+      args.dataset += "_imgblk"
+    if args.double_kidnap and not args.dataset.endswith("_dbl"):
+      args.dataset += "_dbl"
+    if args.alias_period > 0 and "_alias" not in args.dataset:
+      args.dataset += f"_alias{args.alias_period:g}"
 
   if args.generate_only:
+    windows = [tuple(int(v) for v in wd.split(":"))
+               for wd in args.blackout_windows.split(",") if wd]
     ensure_dataset(args.dataset, args.frames, args.size, noise=args.noise,
                    radius=args.radius, loops=args.loops,
-                   occlusions=args.occlusions)
+                   occlusions=args.occlusions,
+                   texture_period=args.alias_period or None,
+                   blackout_windows=windows or None)
     return 0
 
   from badslam_tpu.config import BadSlamConfig
@@ -239,6 +276,21 @@ def main():
   enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), ".jax_cache"))
 
+  # Kidnap windows (computed BEFORE generation: --image_blackout renders
+  # them into the dataset). A sensor blackout at 45% of the run (deep in
+  # the excursion, no covisibility with the start) long enough that the
+  # unobserved motion exceeds the association band; --double_kidnap uses
+  # two windows at 35% and 65% instead.
+  blackout_frames = 0
+  kidnap_windows = []
+  if args.kidnap > 0:
+    arc_speed = (2.0 * np.pi * args.radius * args.loops
+                 / args.frames)  # m per frame
+    blackout_frames = max(2, int(round(args.kidnap / arc_speed)))
+    starts = ([int(0.35 * args.frames), int(0.65 * args.frames)]
+              if args.double_kidnap else [int(0.45 * args.frames)])
+    kidnap_windows = [(s, s + blackout_frames) for s in starts]
+
   # Render the dataset in a SUBPROCESS: the renderer is jax code whose
   # readbacks would permanently drop THIS process's tunnel dispatch into
   # sync mode before the measured run even starts (PERF.md "tunnel dispatch
@@ -248,9 +300,13 @@ def main():
       [sys.executable, __file__, "--generate_only",
        "--dataset", args.dataset, "--frames", str(args.frames),
        "--size", args.size, "--radius", str(args.radius),
-       "--loops", str(args.loops)]
+       "--loops", str(args.loops),
+       "--alias_period", str(args.alias_period)]
       + (["--noise"] if args.noise else [])
-      + (["--occlusions"] if args.occlusions else []),
+      + (["--occlusions"] if args.occlusions else [])
+      + (["--blackout_windows",
+          ",".join(f"{s}:{e}" for s, e in kidnap_windows)]
+         if args.image_blackout and kidnap_windows else []),
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   if gen.returncode != 0:
     raise RuntimeError("dataset generation failed")
@@ -277,16 +333,12 @@ def main():
       initial_keyframe_capacity=64 if args.pipelined else 16,
   )
   slam_cls = BadSlam
-  # Kidnap: a sensor blackout at 45% of the run (deep in the excursion, no
-  # covisibility with the start) long enough that the unobserved motion
-  # exceeds the association band. --kidnap METERS is converted to a
-  # blackout length from the orbit's per-frame arc speed.
-  kidnap_at = int(0.45 * n)
-  blackout_frames = 0
-  if args.kidnap > 0:
-    arc_speed = 2.0 * np.pi * args.radius * args.loops / n  # m per frame
-    blackout_frames = max(2, int(round(args.kidnap / arc_speed)))
-    slam_cls = make_kidnapped_slam(BadSlam, kidnap_at, blackout_frames)
+  kidnap_at = kidnap_windows[0][0] if kidnap_windows else int(0.45 * n)
+  if args.kidnap > 0 and not args.image_blackout:
+    # Classic protocol: inject the blackout through the force_fail seam and
+    # suppress in-window keyframes. --image_blackout instead bakes black
+    # frames into the dataset and runs the UNMODIFIED system.
+    slam_cls = make_kidnapped_slam(BadSlam, kidnap_windows)
   elif args.drift > 0:
     slam_cls = make_biased_slam(BadSlam, lambda i: args.drift)
   slam = slam_cls(cfg, video)
@@ -312,6 +364,10 @@ def main():
     report["kidnap_m_requested"] = args.kidnap
     report["kidnap_at_frame"] = kidnap_at
     report["blackout_frames"] = blackout_frames
+    report["blackout_windows"] = [list(wd) for wd in kidnap_windows]
+    report["image_blackout"] = bool(args.image_blackout)
+  if args.alias_period > 0:
+    report["alias_period_m"] = args.alias_period
 
   def drain():
     """Wait for all queued device work (no host transfer). In concurrent-BA
@@ -379,6 +435,17 @@ def main():
   report["per_frame"] = dict(
       _percentiles(frame_seconds), drained=bool(args.per_frame_drain))
   report["per_frame_steady"] = _percentiles(frame_seconds[n // 2:])
+  # Tail-latency gate (round-4 verdict item 6/weak): clean pipelined runs
+  # must keep the steady-state per-frame p99 inside the reference's 30 FPS
+  # real-time frame budget (bad_slam.cc:449-479 pacing intent) — measured
+  # headline is ~19 ms, so a regression that doubles the tail fails loudly
+  # instead of hiding behind a passing ATE. Fault-injection runs are
+  # exempt: their p99 IS the closure + repair burst, by design.
+  if args.pipelined and args.kidnap == 0 and args.drift == 0:
+    budget_ms = 1000.0 / 30.0
+    report["latency_budget_ms"] = round(budget_ms, 1)
+    report["latency_pass"] = bool(
+        report["per_frame_steady"]["p99_ms"] <= budget_ms)
   loop_elapsed = time.perf_counter() - t0
   report["fps"] = round(n / loop_elapsed, 2)
   # Partial report BEFORE finalize: on the axon tunnel the
@@ -432,8 +499,15 @@ def main():
     # unavoidable residual that would bias the rigid fit and read as map
     # error; what the map gate must measure is whether the surfels
     # re-converged onto the corrected keyframes (round-3 verdict item 5).
+    # Under --image_blackout, keyframes CREATED inside a blackout window
+    # (black frames at held poses, zero surfels) carry the same
+    # irreducible residual — exclude them from the fit too.
     kf_fi = np.asarray(slam.keyframe_frame_indices)
     kf_valid = np.asarray(slam.direct_ba.kf.valid)[: len(kf_fi)]
+    if args.image_blackout:
+      in_blackout = np.asarray(
+          [any(s <= fi < e for (s, e) in kidnap_windows) for fi in kf_fi])
+      kf_valid = kf_valid & ~in_blackout
     kf_est = np.asarray(
         slam.direct_ba.kf.global_T_frame)[: len(kf_fi), :3, 3][kf_valid]
     kf_gt = gt[kf_fi[kf_valid]]
@@ -477,31 +551,36 @@ def main():
     bound = 5e-3 if args.noise else 2e-3
     report["map_pass"] = bool(map_err.get("median_abs_m", 1.0) < bound)
   if args.kidnap > 0:
-    # Actual unobserved offset: the GT displacement over the blackout
-    # window (the held pose misses exactly this motion).
+    # Actual unobserved offset per window: the GT displacement over the
+    # blackout (the held pose misses exactly this motion). The pose
+    # re-anchors at the first usable keyframe AFTER each blackout; the
+    # unobserved motion spans up to there.
     gt_ts = sorted(gt_raw.keys())
-    # The pose re-anchors at the first keyframe AFTER the blackout (no
-    # keyframes exist inside it); the unobserved motion spans up to there.
-    recovery = kidnap_at + blackout_frames
     interval = max(1, args.keyframe_interval)
-    recovery += (-recovery) % interval
-    p_start = gt_raw[gt_ts[min(kidnap_at, len(gt_ts) - 1)]]
-    p_end = gt_raw[gt_ts[min(recovery, len(gt_ts) - 1)]]
-    offset = float(np.linalg.norm(p_end - p_start))
-    report["kidnap_offset_m"] = round(offset, 4)
-    # ATE excluding the blackout window: frames with NO usable sensor data
-    # hold the last pose by construction — their error (ramping 0 -> offset)
-    # is irreducible for any system and would otherwise consume most of the
-    # gate's budget (~0.11 m of RMSE at 500 frames for a 0.72 m offset).
     excl = np.ones(len(est), bool)
-    excl[kidnap_at:min(recovery, len(est))] = False
+    offsets = []
+    for (w_start, w_end) in kidnap_windows:
+      recovery = w_end + ((-w_end) % interval)
+      p_start = gt_raw[gt_ts[min(w_start, len(gt_ts) - 1)]]
+      p_end = gt_raw[gt_ts[min(recovery, len(gt_ts) - 1)]]
+      offsets.append(float(np.linalg.norm(p_end - p_start)))
+      # Exclude each blackout window from the ATE: frames with NO usable
+      # sensor data hold the last pose by construction — their error
+      # (ramping 0 -> offset) is irreducible for any system and would
+      # otherwise consume most of the gate's budget (~0.11 m of RMSE at
+      # 500 frames for a 0.72 m offset).
+      excl[w_start:min(recovery, len(est))] = False
+    offset = float(sum(offsets))
+    report["kidnap_offset_m"] = round(offset, 4)
+    if len(offsets) > 1:
+      report["kidnap_offsets_m"] = [round(o, 4) for o in offsets]
     rmse_excl, _ = ate_rmse(est[excl], gt[excl])
     report["ate_rmse_excl_blackout_m"] = rmse_excl
     # The weak-edge pose graph (odometry edges formed while the gate fired
     # carry WEAK_EDGE_WEIGHT) localizes the correction at the blackout
     # instead of spreading it along the chain, so the repair must remove at
-    # least 75% of the offset over the OBSERVED frames (round-3 verdict
-    # item 5; old gate was 50% of the full trajectory).
+    # least 75% of the (total) offset over the OBSERVED frames (round-3
+    # verdict item 5; old gate was 50% of the full trajectory).
     report["ate_pass"] = bool(rmse_excl < 0.25 * offset)
   elif args.drift > 0:
     # Drift mode: verifies ABSORPTION — per-keyframe frame-to-model BA
@@ -544,15 +623,39 @@ def main():
   # zero events means the gate silently lost coverage).
   loop_exercised = det is None or len(det.events) > 0
   report["loop_path_exercised"] = bool(loop_exercised)
-  # Kidnap mode additionally requires that at least one closure was APPLIED
-  # (not just detected-and-ignored): the baked-in offset makes the
-  # is-BA-enough test fail, so a zero here means the repair path is broken.
+  # Kidnap mode additionally requires that at least one closure per
+  # blackout window was APPLIED (not just detected-and-ignored): the
+  # baked-in offset makes the is-BA-enough test fail, so a shortfall here
+  # means the repair path is broken. --double_kidnap thereby exercises the
+  # accumulated loop-edge buffer: the second pose graph must re-add the
+  # first window's applied edge.
   closure_ok = (args.kidnap == 0 or det is None
-                or det.num_loops_closed > 0)
+                or det.num_loops_closed >= max(1, len(kidnap_windows)))
+  # False-closure accounting (aliasing protocol): an APPLIED closure whose
+  # two keyframes are not truly co-located in GT corrupts the map. With
+  # --alias_period the texture invites exactly these, and the depth-sanity
+  # gate must reject them all.
+  if det is not None:
+    kf_fi = slam.keyframe_frame_indices
+    false_applied = 0
+    for e in det.events:
+      if not e.applied:
+        continue
+      try:
+        pa = gt[kf_fi[e.current_slot]]
+        pb = gt[kf_fi[e.matched_slot]]
+      except (IndexError, KeyError):
+        continue
+      if float(np.linalg.norm(pa - pb)) > 0.5:
+        false_applied += 1
+    report["false_applied_closures"] = false_applied
+    if args.alias_period > 0:
+      closure_ok = closure_ok and false_applied == 0
   report["pass"] = bool(report["ate_pass"] and report["map_pass"]
                         and all(invariants.values())
                         and report.get("counters_consistent", True)
-                        and loop_exercised and closure_ok)
+                        and loop_exercised and closure_ok
+                        and report.get("latency_pass", True))
   print(json.dumps(report, indent=2), flush=True)
   if args.out:
     with open(args.out, "w") as f:
