@@ -229,6 +229,13 @@ def main():
                       " times cover device execution (latency protocol; "
                       "throughput numbers from such a run are not "
                       "comparable)")
+  p.add_argument("--cell_size", type=int, default=4,
+                 help="surfel sparsification cell (reference default 4 = "
+                      "1/16 of pixels; 1-2 for the >=1M-live-surfel scale "
+                      "protocol)")
+  p.add_argument("--surfel_capacity_log", type=int, default=None,
+                 help="log2 surfel-store capacity override (default: 2^17 "
+                      "pipelined / 2^16 host growth start)")
   p.add_argument("--radius", type=float, default=None,
                  help="orbit radius in meters (default 0.25; "
                       "drift/kidnap modes 2.0)")
@@ -328,8 +335,13 @@ def main():
       # every capacity doubling recompiles the BA programs mid-run. 2^17 is
       # ~2.8x the measured 500-frame map (46.9k surfels, round 2); at the
       # cap, creation behaves like the reference at max_surfel_count.
-      initial_surfel_capacity=(1 << 17) if args.pipelined else (1 << 16),
-      max_surfel_count=(1 << 17) if args.pipelined else 25_000_000,
+      sparse_surfel_cell_size=args.cell_size,
+      initial_surfel_capacity=(
+          (1 << args.surfel_capacity_log) if args.surfel_capacity_log
+          else (1 << 17) if args.pipelined else (1 << 16)),
+      max_surfel_count=(
+          (1 << args.surfel_capacity_log) if args.surfel_capacity_log
+          else (1 << 17) if args.pipelined else 25_000_000),
       initial_keyframe_capacity=64 if args.pipelined else 16,
   )
   slam_cls = BadSlam
