@@ -198,6 +198,14 @@ def main():
   live = int(np.asarray(state[0].valid).sum())
   out = {
       "metric": "kf_scale_ba_iteration_cost",
+      # Each timed region dispatches `iters` separate programs, so on the
+      # axon tunnel any row at or below ~0.5 ms/iteration is measuring
+      # DISPATCH latency, not device work — such rows cannot rank dense vs
+      # windowed modes. benchmarks/solver_scale.py supersedes this bench
+      # for device-time questions (scan-amortized, dispatch-free).
+      "dispatch_floor_caveat": "rows <= ~0.5 ms/iter are dispatch-bound on "
+                               "the tunnel; see solver_scale.py for "
+                               "device-resolved numbers",
       "backend": jax.default_backend(),
       "surfel_capacity": 1 << args.surfel_capacity_log,
       "live_surfels": live,
