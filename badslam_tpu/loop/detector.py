@@ -69,6 +69,12 @@ class LoopClosureEvent:
   inlier_count: int
   applied: bool
   reason: str
+  # Norm of the applied constraint's translation (the measured distance
+  # between the two camera centers): a closure is FALSE iff this disagrees
+  # with the GT pair distance — proximity of the pair alone cannot
+  # distinguish a correct wide-baseline closure from an aliased one
+  # (benchmarks/long_sequence.py false-closure accounting).
+  measured_t_norm: "float | None" = None
 
 
 def _popcount_u8(x: np.ndarray) -> np.ndarray:
@@ -576,13 +582,14 @@ class LoopDetector:
                     r.ba_enough.astype(jnp.float32),
                     r.consistent.astype(jnp.float32),
                     r.depth_sane.astype(jnp.float32),
-                    r.avg_px]) for r in rs]))
+                    r.avg_px, r.t_norm]) for r in rs]))
 
     class _Resolved:
       def __init__(self, row):
         self.applied, self.ba_enough, self.consistent, self.depth_sane = (
             bool(row[0]), bool(row[1]), bool(row[2]), bool(row[3]))
         self.avg_px = float(row[4])
+        self.t_norm = float(row[5])
 
     pending = iter([_Resolved(row) for row in batched])
     for i, event in enumerate(self.events):
@@ -592,6 +599,7 @@ class LoopDetector:
       if bool(res.applied):
         event.applied = True
         event.reason = "closed"
+        event.measured_t_norm = res.t_norm
         self.num_loops_ignored -= 1
         self.num_loops_closed += 1
         log.info(f"loop closed on device: kf {event.current_slot} -> "
@@ -787,4 +795,6 @@ class LoopDetector:
     slam.num_planned_ba_iterations += (
         slam.config.max_num_ba_iterations_per_keyframe)
 
-    return ev(True, "closed", n_inliers)
+    event = ev(True, "closed", n_inliers)
+    event.measured_t_norm = float(np.linalg.norm(cur_T_old_avg[:3, 3]))
+    return event

@@ -115,6 +115,9 @@ class DeviceClosureResult(NamedTuple):
   consistent: jax.Array      # () bool — refinements mutually consistent
   avg_px: jax.Array          # () float — mean keypoint reprojection motion
   depth_sane: jax.Array      # () bool — aligned depth fields agree
+  t_norm: jax.Array          # () float — |t| of the averaged constraint
+                             # (measured camera-center distance; used by the
+                             # harnesses' false-closure accounting)
   loop_ei: jax.Array         # (L,) accumulated applied-loop-edge buffer
   loop_ej: jax.Array         # (L,)
   loop_Z: jax.Array          # (L, 4, 4)
@@ -247,5 +250,6 @@ def verify_and_close(
   return DeviceClosureResult(
       global_T_frame=new_poses, applied=applied, ba_enough=ba_enough,
       consistent=consistent, avg_px=avg_px, depth_sane=depth_sane,
+      t_norm=jnp.linalg.norm(cur_T_old_avg[:3, 3]),
       loop_ei=loop_ei, loop_ej=loop_ej, loop_Z=loop_Z, loop_w=loop_w,
       loop_count=loop_count)

@@ -643,22 +643,26 @@ def main():
   # first window's applied edge.
   closure_ok = (args.kidnap == 0 or det is None
                 or det.num_loops_closed >= max(1, len(kidnap_windows)))
-  # False-closure accounting (aliasing protocol): an APPLIED closure whose
-  # two keyframes are not truly co-located in GT corrupts the map. With
-  # --alias_period the texture invites exactly these, and the depth-sanity
-  # gate must reject them all.
+  # False-closure accounting (aliasing protocol): an APPLIED closure is
+  # false iff its measured CONSTRAINT is wrong — the |t| of the averaged
+  # relative pose is the measured camera-center distance of the pair, and
+  # must agree with the GT pair distance. (Pair proximity alone cannot
+  # distinguish a correct wide-baseline closure — keyframe arc spacing here
+  # is ~0.3 m — from an aliased match claiming two tiles >= alias_period
+  # apart are the same place.) Tolerance: 0.15 m + 10%, generous vs the
+  # 0.06 m RANSAC inlier threshold and far below the 0.8 m tile period.
   if det is not None:
     kf_fi = slam.keyframe_frame_indices
     false_applied = 0
     for e in det.events:
-      if not e.applied:
+      if not e.applied or e.measured_t_norm is None:
         continue
       try:
-        pa = gt[kf_fi[e.current_slot]]
-        pb = gt[kf_fi[e.matched_slot]]
+        d_gt = float(np.linalg.norm(gt[kf_fi[e.current_slot]]
+                                    - gt[kf_fi[e.matched_slot]]))
       except (IndexError, KeyError):
         continue
-      if float(np.linalg.norm(pa - pb)) > 0.5:
+      if abs(e.measured_t_norm - d_gt) > 0.15 + 0.1 * d_gt:
         false_applied += 1
     report["false_applied_closures"] = false_applied
     if args.alias_period > 0:
