@@ -251,7 +251,13 @@ def main():
   if args.radius is None:
     args.radius = 2.0 if biased else 0.25
   if args.loops is None:
-    args.loops = 1.15 if biased else 2.0
+    # Double-kidnap needs a revisit AFTER EACH blackout for its two
+    # closures: 1.6 loops puts the second kidnap (at 75%) inside the
+    # revisit arc (measured: at 1.15 loops the single end-revisit yields
+    # exactly one closure — the weak-edge pose graph still distributed the
+    # correction across both blackout edges to 20% ATE, but the map kept
+    # the first kidnap's orphaned surfels).
+    args.loops = (1.6 if args.double_kidnap else 1.15) if biased else 2.0
   if biased and args.dataset == p.get_default("dataset"):
     args.dataset += "_excursion"
   if (args.occlusions and args.dataset.startswith("/tmp/badslam_long_seq")
@@ -294,7 +300,11 @@ def main():
     arc_speed = (2.0 * np.pi * args.radius * args.loops
                  / args.frames)  # m per frame
     blackout_frames = max(2, int(round(args.kidnap / arc_speed)))
-    starts = ([int(0.35 * args.frames), int(0.65 * args.frames)]
+    # Double mode: kidnap 1 in novel terrain (repaired at the first
+    # revisit), kidnap 2 inside the revisit arc (repaired by re-anchoring
+    # against the pass-1 map) — each gets a closure, and the second pose
+    # graph must re-add the first's accumulated loop edge.
+    starts = ([int(0.35 * args.frames), int(0.75 * args.frames)]
               if args.double_kidnap else [int(0.45 * args.frames)])
     kidnap_windows = [(s, s + blackout_frames) for s in starts]
 
