@@ -364,8 +364,12 @@ def main():
   elif args.drift > 0:
     slam_cls = make_biased_slam(BadSlam, lambda i: args.drift)
   slam = slam_cls(cfg, video)
+  import jax
   report = {"frames": n, "parallel": not args.sequential,
             "noise": args.noise,
+            "size": args.size,
+            "backend": jax.default_backend(),
+            "cell_size": args.cell_size,
             "pipelined": args.pipelined,
             "concurrent_ba": bool(args.pipelined and args.concurrent_ba)}
   if args.prewarm:
