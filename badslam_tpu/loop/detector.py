@@ -556,9 +556,16 @@ class LoopDetector:
     # transfer-free BA iterations re-converge keyframes AND surfels onto
     # the corrected poses; when it does not apply, the extra iterations
     # converge immediately (cheap no-ops). The applied flag is on device,
-    # so the budget is planned unconditionally.
+    # so the budget is planned unconditionally. The budget is also recorded
+    # as repair DEBT: the concurrent-BA queue's backlog cap may not drop
+    # these iterations (measured round 5: with a warm cache the frame loop
+    # outruns BA dispatch, the queue sits at its cap, and the entire repair
+    # burst was silently discarded — ATE residual 21->31% of the kidnap
+    # offset depending on how many repair iterations survived).
     slam.num_planned_ba_iterations += (
         cfg.max_num_ba_iterations_per_keyframe)
+    slam._pl_ba_repair_debt = (getattr(slam, "_pl_ba_repair_debt", 0)
+                               + cfg.max_num_ba_iterations_per_keyframe)
     self._pending_device_results.append(res)
     return ev(False, "device-pending", n_inliers)
 

@@ -15,7 +15,7 @@ solve and the convergence test — runs on-device inside one
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +181,7 @@ def estimate_frame_poses_batched(
     use_depth_residuals: bool = True,
     use_descriptor_residuals: bool = True,
     max_iterations: int = 30,
+    kf_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
   """All keyframes' frame-to-model pose GN at once.
 
@@ -189,6 +190,14 @@ def estimate_frame_poses_batched(
   each keyframe's pose problem is independent (the surfel map is fixed), so
   on TPU we vmap the whole GN over the keyframe axis and run one shared
   ``lax.while_loop`` with per-keyframe convergence lanes.
+
+  ``kf_chunk`` bounds the H/b accumulation's live intermediates: the full
+  vmap materializes (K x surfel_capacity)-proportional temporaries, which
+  at production scale (256 KF x 2M surfels) needs ~80 GB of HBM — 5x a v5e
+  chip. Chunking runs the vmap ``kf_chunk`` keyframes at a time under
+  ``lax.map`` (sequential chunks, parallel within a chunk), trading a
+  K/kf_chunk-deep loop for a K/kf_chunk memory reduction. None (default)
+  keeps the single full-width vmap.
 
   Returns (global_T_frame (K,4,4), moved (K,) bool). ``moved`` mirrors the
   reference's frame_moved = !IsScale1PoseEstimationConverged(diff.log()):
@@ -201,7 +210,26 @@ def estimate_frame_poses_batched(
         use_depth_residuals, use_descriptor_residuals)
     return H, b
 
-  h_b_all = jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))
+  K = global_T_frame_init.shape[0]
+  if kf_chunk is not None and 0 < kf_chunk < K:
+    C = int(kf_chunk)
+    n_chunks = -(-K // C)
+    pad = n_chunks * C - K
+
+    def h_b_all(T, depth, normals, intensity):
+      def chunked(x):
+        if pad:
+          x = jnp.concatenate(
+              [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+        return x.reshape((n_chunks, C) + x.shape[1:])
+
+      H, b = jax.lax.map(
+          lambda a: jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))(*a),
+          (chunked(T), chunked(depth), chunked(normals), chunked(intensity)))
+      return (H.reshape((n_chunks * C, 6, 6))[:K],
+              b.reshape((n_chunks * C, 6))[:K])
+  else:
+    h_b_all = jax.vmap(h_b_one, in_axes=(0, 0, 0, 0))
 
   def cond(state):
     _, it, done = state

@@ -192,6 +192,11 @@ class BadSlam:
         None if config.use_pallas_preprocess else False)
 
     self.num_planned_ba_iterations = 0
+    # Loop-closure repair iterations still owed to the concurrent-BA queue;
+    # these bypass the backlog cap (see the enqueue path) so a repair burst
+    # can never be silently dropped when BA dispatch is slower than the
+    # frame loop.
+    self._pl_ba_repair_debt = 0
     self.ba_counter = 0
     self.last_frame_index = -1
     self.pose_estimated = False
@@ -737,23 +742,37 @@ class BadSlam:
             with self._pl_map_lock:
               self._run_pl_ba_iteration(opts)
         else:
-          with self._ba_condition:
-            # Bound the backlog, as start_parallel_iterations does: when BA
-            # is slower than the frame rate, excess iterations drop rather
-            # than queueing unboundedly behind the camera. The bound is 3x
-            # the per-keyframe budget: a loop-closure repair plans a BURST
-            # of iterations (one budget per dispatched candidate), and a cap
-            # of one budget silently discarded most of it — measured as
-            # run-to-run kidnap-repair variance (ATE 17-29% of the offset
-            # depending on how many repair iterations survived the cap).
-            if (len(self._pl_ba_queue)
-                < 3 * cfg.max_num_ba_iterations_per_keyframe):
-              self._pl_ba_queue.append(opts)
-              self._ba_condition.notify_all()
+          self._enqueue_pl_ba(opts)
       else:
         with Timing.time("Bundle adjustment"):
           self._run_pl_ba_iteration(opts)
       self.num_planned_ba_iterations -= 1
+
+  def _enqueue_pl_ba(self, opts: dict) -> bool:
+    """Hand one BA iteration to the concurrent-BA worker.
+
+    Bounds the backlog, as start_parallel_iterations does: when BA is
+    slower than the frame rate, excess iterations drop rather than queueing
+    unboundedly behind the camera — EXCEPT loop-closure repair iterations
+    (_pl_ba_repair_debt): with a warm cache the frame loop outruns BA
+    dispatch, the queue sits at its cap, and a droppable repair burst is
+    discarded almost entirely (measured round 5 as 21->31% run-to-run
+    kidnap ATE variance). Repair debt bypasses the cap; it is bounded by
+    one per-keyframe budget per dispatched closure, and whatever the run
+    cannot absorb drains at finalize (the reference likewise lets the BA
+    thread finish its planned iterations after the camera stops,
+    bad_slam.cc:1268-1313 + main.cc final BA)."""
+    cfg = self.config
+    with self._ba_condition:
+      repair = self._pl_ba_repair_debt > 0
+      if repair:
+        self._pl_ba_repair_debt -= 1
+      if repair or (len(self._pl_ba_queue)
+                    < 3 * cfg.max_num_ba_iterations_per_keyframe):
+        self._pl_ba_queue.append(opts)
+        self._ba_condition.notify_all()
+        return True
+      return False
 
   def _run_pl_ba_iteration(self, opts: dict):
     """One transfer-free BA iteration over the full store (the parallel-BA
@@ -970,6 +989,24 @@ class BadSlam:
     import time as _time
     from badslam_tpu.slam import pipelined
     t0 = _time.perf_counter()
+    # A closure near the end of the run plans more repair iterations than
+    # there are frames left to enqueue them on; flush the remaining repair
+    # debt into the queue so the drain below completes the repair (the
+    # analog of the reference's final BA after the camera loop,
+    # main.cc:726-770).
+    debt = getattr(self, "_pl_ba_repair_debt", 0)
+    if (debt > 0 and self._pl_concurrent_ba
+        and self._pl_ba_thread is not None
+        and self._pl_ba_thread.is_alive()
+        and self.direct_ba.keyframe_count >= 2):
+      opts = dict(optimize_depth_intrinsics=False,
+                  optimize_color_intrinsics=False,
+                  k=self.direct_ba.keyframe_count)
+      with self._ba_condition:
+        for _ in range(debt):
+          self._pl_ba_queue.append(dict(opts))
+        self._pl_ba_repair_debt = 0
+        self._ba_condition.notify_all()
     self._drain_pl_ba()  # final poses must include queued BA iterations
     t1 = _time.perf_counter()
     # Trajectory FIRST: the run's first device->host read performs the

@@ -65,6 +65,14 @@ def main():
                  help="PCG inner iterations per outer step "
                       "(reference default 30, bad_slam.h:132)")
   p.add_argument("--surfel_capacity_log", type=int, default=21)
+  p.add_argument("--pose_chunk", type=int, default=16,
+                 help="keyframes per pose-phase chunk (lax.map): the full "
+                      "vmap materializes (K x surfel_capacity) temporaries "
+                      "— ~80 GB at 256 KF x 2M surfels, 5x a v5e's HBM "
+                      "(measured round 5); 0 = unchunked")
+  p.add_argument("--profile_dir", default=None,
+                 help="capture a jax.profiler trace of one warmed scan per "
+                      "solver into <dir>/<solver>/")
   p.add_argument("--out", default=None)
   args = p.parse_args()
 
@@ -163,7 +171,8 @@ def main():
       optimize = k.valid & (k.activation != 0)
       T, _ = pose_opt.estimate_frame_poses_batched(
           k.global_T_frame, optimize, s, k.depth, k.normals, k.intensity,
-          c, c, dp, True, True, max_iterations=10)
+          c, c, dp, True, True, max_iterations=10,
+          kf_chunk=args.pose_chunk or None)
       return (s, k._replace(global_T_frame=T)), 0
 
     (s, k), _ = jax.lax.scan(body, (surfels, kf),
@@ -201,6 +210,29 @@ def main():
     return time.perf_counter() - t0
 
   rows = []
+  profiled = []
+
+  def profile_scan(label, fn, *fargs, **fkw):
+    """Capture a jax.profiler trace of one warmed scan (verdict item 4:
+    device-time evidence should come from traces where the tunnel supports
+    them; the difference-quotient rows stand on their own if it doesn't)."""
+    if not args.profile_dir:
+      return
+    d = os.path.join(args.profile_dir, label.replace("/", "_"))
+    try:
+      jax.profiler.start_trace(d)
+      jax.block_until_ready(fn(*fargs, **fkw))
+      jax.profiler.stop_trace()
+      profiled.append({"solver": label, "trace_dir": d})
+      print(f"  trace captured: {d}", flush=True)
+    except Exception as e:  # tunnel backends may not export device traces
+      try:
+        jax.profiler.stop_trace()
+      except Exception:
+        pass
+      profiled.append({"solver": label, "trace_dir": None,
+                       "error": f"{type(e).__name__}: {e}"})
+      print(f"  trace FAILED ({label}): {e}", flush=True)
 
   def device_resolved(label, fn, *fargs, length_kw="length", extra=None):
     kw1 = {length_kw: 1}
@@ -217,6 +249,7 @@ def main():
         "scan_1_s": round(t1, 4), f"scan_{args.iters}_s": round(tN, 4),
     })
     print(rows[-1], flush=True)
+    profile_scan(label, fn, *fargs, **kwN)
     return per_iter
 
   alt_s = device_resolved(
@@ -252,7 +285,8 @@ def main():
       optimize = kw.valid & (kw.activation != 0)
       T, _ = pose_opt.estimate_frame_poses_batched(
           kw.global_T_frame, optimize, s, kw.depth, kw.normals,
-          kw.intensity, c, c, dp, True, True, max_iterations=10)
+          kw.intensity, c, c, dp, True, True, max_iterations=10,
+          kf_chunk=args.pose_chunk or None)
       return (s, _scatter_kf_window_jit(k, kw._replace(global_T_frame=T),
                                         win_idx)), 0
 
@@ -317,6 +351,8 @@ def main():
       },
       "peak_hbm_bytes": peak,
   }
+  if profiled:
+    out["profiler_traces"] = profiled
   print(json.dumps(out, indent=2), flush=True)
   if args.out:
     with open(args.out, "w") as f:

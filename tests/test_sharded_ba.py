@@ -320,3 +320,31 @@ def test_keyframe_growth_and_insertion_under_kf_sharding():
   s_out, kf_out, nconv = step(surfels, kf8, ba.a, ba.cfactor, ba.baseline_fx)
   jax.block_until_ready(s_out)
   assert np.isfinite(np.asarray(kf_out.global_T_frame)).all()
+
+
+def test_pose_kf_chunk_matches_full_vmap():
+  """kf_chunk bounds the pose phase's (K x surfel_capacity) temporaries for
+  production scale (round 5: 256 KF x 2M surfels = ~80 GB unchunked, 5x a
+  v5e's HBM); the chunked lax.map path must be numerically identical to the
+  full vmap, including a chunk size that does not divide K (padding)."""
+  from badslam_tpu.models import pose_opt
+  from badslam_tpu.models.association import DepthParamsArrays
+
+  ba, cam = build_map()
+  dp = DepthParamsArrays(a=ba.a, cfactor=ba.cfactor,
+                         baseline_fx=ba.baseline_fx, cell_size=ba.cell_size)
+  optimize = ba.kf.valid & (ba.kf.activation != 0)
+  args = (ba.kf.global_T_frame, optimize, ba.surfels,
+          ba.kf.depth, ba.kf.normals, ba.kf.intensity, cam, cam, dp,
+          True, True)
+  T_full, moved_full = pose_opt.estimate_frame_poses_batched(
+      *args, max_iterations=6)
+  for chunk in (1, 2, 3):  # K=4 slots: 3 does not divide K -> padding path
+    T_c, moved_c = pose_opt.estimate_frame_poses_batched(
+        *args, max_iterations=6, kf_chunk=chunk)
+    # f32 H/b accumulation order differs between the vmap and lax.map
+    # lowerings, and GN amplifies it across iterations; observed max
+    # divergence ~1e-4 on the pose entries after 6 iterations.
+    np.testing.assert_allclose(np.asarray(T_c), np.asarray(T_full),
+                               rtol=0, atol=5e-4, err_msg=f"chunk={chunk}")
+    assert np.array_equal(np.asarray(moved_c), np.asarray(moved_full))
